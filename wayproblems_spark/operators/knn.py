@@ -1,0 +1,121 @@
+"""G5 — kNN nearest-way assignment (exact, bit-stable across parallelism).
+
+Semantics: for each point, the nearest way measured as the minimum haversine
+distance to any of the way's vertices, tie-broken by smallest way_id —
+a total order, so results are identical regardless of cluster size or
+partitioning (the north_rule bit-stability clause).
+
+Physical plan (tiered, all JVM-side except the numpy cell encoder):
+
+  tier 1: equi-join point 3×3-cell-neighborhood × way-vertex cell at
+          `level` (ring join); min(struct(dist, way_id)) per point.
+          A tier-1 best is PROVABLY exact when best_dist < the minimum
+          distance from the point to its 3×3 neighborhood border; we use
+          the conservative bound one-cell-width (the S2 cell's minimum
+          edge length at `level`).
+  tier 2: unresolved/unproven points escalate to `level-4` (16× coarser),
+          same join + same acceptance bound.
+  tier 3: brute-force cross join for the (rare) remainder — exact by
+          construction.
+
+Distances: haversine on a spherical earth, computed per candidate pair with
+built-in column math (no accumulation → no float reduction-order
+dependence). min(struct(...)) is order-insensitive → deterministic.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .cells import MAX_LEVEL, neighbor_cells_udf, with_cell
+
+EARTH_RADIUS_M = 6371008.8
+
+# Minimum S2 cell edge length at level L, conservative (kMinEdge ≈
+# 2*sqrt(2)/3 / 2^L radians ≈ 0.943/2^L). We use an extra 2× safety margin.
+_MIN_EDGE_RAD = 2.0 * math.sqrt(2.0) / 3.0
+
+
+def cell_min_edge_m(level: int) -> float:
+    return _MIN_EDGE_RAD / (1 << level) * EARTH_RADIUS_M / 2.0
+
+
+def haversine_m(lat1, lon1, lat2, lon2):
+    rl1, rl2 = F.radians(lat1), F.radians(lat2)
+    dphi = F.radians(lat2 - lat1) / 2.0
+    dlam = F.radians(lon2 - lon1) / 2.0
+    a = F.sin(dphi) ** 2 + F.cos(rl1) * F.cos(rl2) * F.sin(dlam) ** 2
+    return 2.0 * EARTH_RADIUS_M * F.asin(F.sqrt(a))
+
+
+def way_vertices(resolved_ways: DataFrame) -> DataFrame:
+    """Explode resolved geometries to (way_id, vlat, vlon)."""
+    return resolved_ways.select(
+        "way_id", F.explode("geom").alias("v")
+    ).select("way_id", F.col("v.lat").alias("vlat"), F.col("v.lon").alias("vlon"))
+
+
+def _best_candidates(pts: DataFrame, verts_cells: DataFrame, level: int) -> DataFrame:
+    """One tier: ring join + per-point min(struct(dist, way_id))."""
+    p = pts.withColumn("nbrs", neighbor_cells_udf(level)(F.col("lat"), F.col("lon")))
+    p = p.select("point_id", "lat", "lon", F.explode("nbrs").alias("cell"))
+    cand = p.join(verts_cells, "cell")
+    d = haversine_m(F.col("lat"), F.col("lon"), F.col("vlat"), F.col("vlon"))
+    return (
+        cand.select("point_id", "lat", "lon", "way_id", d.alias("dist"))
+        .groupBy("point_id")
+        .agg(
+            F.min(F.struct("dist", "way_id")).alias("best"),
+            F.first("lat").alias("lat"),
+            F.first("lon").alias("lon"),
+        )
+        .select(
+            "point_id", "lat", "lon",
+            F.col("best.way_id").alias("way_id"),
+            F.col("best.dist").alias("dist_m"),
+        )
+    )
+
+
+def knn_nearest_way(
+    points: DataFrame,
+    resolved_ways: DataFrame,
+    level: int = 12,
+    coarse_level: int | None = None,
+) -> DataFrame:
+    """points(point_id, lat, lon) × ways(way_id, geom) → (point_id, way_id,
+    dist_m). Exact; deterministic ties on way_id."""
+    coarse_level = coarse_level if coarse_level is not None else max(level - 4, 1)
+    verts = way_vertices(resolved_ways)
+
+    vfine = with_cell(verts, "vlat", "vlon", level, out="cell")
+    vcoarse = with_cell(verts, "vlat", "vlon", coarse_level, out="cell")
+
+    pts = points.select("point_id", "lat", "lon")
+
+    t1 = _best_candidates(pts, vfine, level)
+    ok1 = t1.filter(F.col("dist_m") < cell_min_edge_m(level))
+
+    rest1 = pts.join(ok1.select("point_id"), "point_id", "left_anti")
+    t2 = _best_candidates(rest1, vcoarse, coarse_level)
+    ok2 = t2.filter(F.col("dist_m") < cell_min_edge_m(coarse_level))
+
+    rest2 = rest1.join(ok2.select("point_id"), "point_id", "left_anti")
+    # tier 3: brute force the stragglers (crossJoin; small by construction)
+    d = haversine_m(F.col("lat"), F.col("lon"), F.col("vlat"), F.col("vlon"))
+    t3 = (
+        rest2.crossJoin(verts)
+        .select("point_id", d.alias("dist"), "way_id")
+        .groupBy("point_id")
+        .agg(F.min(F.struct("dist", "way_id")).alias("best"))
+        .select(
+            "point_id",
+            F.col("best.way_id").alias("way_id"),
+            F.col("best.dist").alias("dist_m"),
+        )
+    )
+    sel = ("point_id", "way_id", "dist_m")
+    return ok1.select(*sel).unionByName(ok2.select(*sel)).unionByName(t3.select(*sel))

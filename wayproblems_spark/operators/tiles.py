@@ -1,0 +1,95 @@
+"""G6 — web-mercator tiling: per-tile problem counts and raster↔vector.
+
+Tile math is the standard slippy-map formula, computed entirely with
+built-in column expressions (floor/ln/tan — whole-stage codegen, no UDF).
+Rasterization buckets problems into a PIX×PIX pixel grid inside each tile;
+the vector rendering collects deterministic sorted pixel runs per tile.
+
+Determinism: tile/pixel assignment is a pure function of (lon, lat, z);
+counts are order-insensitive → bit-stable across cluster sizes.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PIX = 16
+
+
+def tile_xy(lon: Column, lat: Column, z: int) -> tuple[Column, Column]:
+    n = float(1 << z)
+    x = F.floor((lon + 180.0) / 360.0 * n)
+    lat_rad = F.radians(lat)
+    y = F.floor(
+        (1.0 - F.log(F.tan(lat_rad) + 1.0 / F.cos(lat_rad)) / math.pi) / 2.0 * n
+    )
+    # clamp poles
+    x = F.greatest(F.lit(0), F.least(x, F.lit(int(n) - 1))).cast("int")
+    y = F.greatest(F.lit(0), F.least(y, F.lit(int(n) - 1))).cast("int")
+    return x, y
+
+
+def pixel_xy(lon: Column, lat: Column, z: int) -> tuple[Column, Column]:
+    """Pixel index (0..PIX-1) within the tile."""
+    n = float(1 << z)
+    fx = (lon + 180.0) / 360.0 * n
+    lat_rad = F.radians(lat)
+    fy = (1.0 - F.log(F.tan(lat_rad) + 1.0 / F.cos(lat_rad)) / math.pi) / 2.0 * n
+    px = F.floor((fx - F.floor(fx)) * PIX).cast("int")
+    py = F.floor((fy - F.floor(fy)) * PIX).cast("int")
+    px = F.greatest(F.lit(0), F.least(px, F.lit(PIX - 1)))
+    py = F.greatest(F.lit(0), F.least(py, F.lit(PIX - 1)))
+    return px, py
+
+
+def problem_anchor(problems_df: DataFrame) -> DataFrame:
+    """Anchor each problem at its first geometry vertex (deterministic)."""
+    return problems_df.withColumn("_a", F.element_at("geom", 1)).select(
+        "*", F.col("_a.lon").alias("_lon"), F.col("_a.lat").alias("_lat")
+    ).drop("_a")
+
+
+def tile_counts(problems_df: DataFrame, z: int) -> DataFrame:
+    """(tile_z, tile_x, tile_y, layer, problem_count) — shuffle on the tile
+    key with map-side partial aggregation (hash agg)."""
+    df = problem_anchor(problems_df)
+    x, y = tile_xy(F.col("_lon"), F.col("_lat"), z)
+    return (
+        df.withColumn("tile_x", x)
+        .withColumn("tile_y", y)
+        .groupBy(F.lit(z).alias("tile_z"), "tile_x", "tile_y", "layer")
+        .agg(F.count("*").alias("problem_count"))
+    )
+
+
+def rasterize(problems_df: DataFrame, z: int) -> DataFrame:
+    """vector→raster: per-tile PIX×PIX pixel counts."""
+    df = problem_anchor(problems_df)
+    x, y = tile_xy(F.col("_lon"), F.col("_lat"), z)
+    px, py = pixel_xy(F.col("_lon"), F.col("_lat"), z)
+    return (
+        df.withColumn("tile_x", x)
+        .withColumn("tile_y", y)
+        .withColumn("px", px)
+        .withColumn("py", py)
+        .groupBy(F.lit(z).alias("tile_z"), "tile_x", "tile_y", "px", "py")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def raster_to_vector(raster_df: DataFrame) -> DataFrame:
+    """raster→vector: per tile, a deterministic sorted run-list of lit
+    pixels (py*PIX+px encoded) — the inverse direction of `rasterize`."""
+    return (
+        raster_df.withColumn("pidx", F.col("py") * PIX + F.col("px"))
+        .groupBy("tile_z", "tile_x", "tile_y")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pidx", "n"))
+            ).alias("pixels"),
+            F.sum("n").alias("total"),
+        )
+    )
