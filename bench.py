@@ -1,0 +1,221 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``--scaling`` mode (BASELINE.md sandbox protocol): run the identical job at
+local[8] (N) and local[32] (4N) in fresh subprocesses, report throughput at
+both, scaling efficiency = (T8/T32)/4 wall-clock ratio over 4, and the
+bit-stability fingerprints of join output rows and tile assignments; writes
+BENCH/BASELINE.md.
+
+The wayproblems corpus for the e2e leg is synthesized deterministically once
+and cached as parquet under .scratch/ (generation excluded from timings).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "120000"))
+SCRATCH = os.path.join(REPO, ".scratch")
+
+
+def _ensure_bench_corpus(spark) -> str:
+    """Generate-once, cache as parquet. Returns the pages parquet path."""
+    path = os.path.join(SCRATCH, f"bench_pages_{BENCH_PAGES}_s42")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        from wayproblems_spark.fixtures.pages import generate_corpus, pages_df
+
+        corpus = generate_corpus(
+            n_pages=BENCH_PAGES, seed=42, split="bench",
+            ways_per_page=0.6, nodes_per_page=3.0, polys_total=200,
+        )
+        pages_df(spark, corpus).repartition(64).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_suite(spark, emit_fingerprints: bool = False) -> dict:
+    from pyspark.sql import functions as F
+
+    from wayproblems_spark.operators.knn import knn_nearest_way
+    from wayproblems_spark.operators.resolve import (
+        drop_invalid_geometry,
+        resolve_locations,
+    )
+    from wayproblems_spark.operators.tiles import tile_counts
+    from wayproblems_spark.operators.dedup import minhash_lsh_pairs
+    from wayproblems_spark.plans.checkpoint import content_fingerprint
+    from wayproblems_spark.rules import problems
+    from wayproblems_spark.sources.pages_source import (
+        extract_text,
+        nodes_from_pages,
+        ways_from_pages,
+    )
+    import __spark_entry__ as em
+
+    pages_path = _ensure_bench_corpus(spark)
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    fingerprints: dict[str, int] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # fixed partition count at BOTH parallelism levels: the corpus parquet is
+    # small enough that file-split planning would otherwise serialize the
+    # Arrow-UDF stages (maxPartitionBytes ≫ file sizes)
+    pages = spark.read.parquet(pages_path).repartition(128)
+
+    # e2e: extract (G1) — byte-identity validated inline on the same pass
+    def _extract():
+        df = extract_text(pages)
+        return df.filter(F.col("extracted") == F.col("text")).count()
+
+    counts["extract_ok"] = timed("extract_text", _extract)
+
+    # e2e: geoparse + resolve + full rule engine → flagged features
+    ways = ways_from_pages(pages).drop("src_url")
+    nodes = nodes_from_pages(pages)
+    resolved = drop_invalid_geometry(resolve_locations(ways, nodes))
+    probs = problems(resolved)
+    probs.persist()
+    counts["flagged"] = timed("wayproblems_e2e", probs.count)
+
+    # tiles
+    tiles = tile_counts(probs, 12)
+    tiles.persist()
+    counts["tiles"] = timed("tile_counts", tiles.count)
+
+    # kNN: nodes → nearest way
+    pts = nodes.select(F.col("node_id").alias("point_id"), "lat", "lon")
+    knn = knn_nearest_way(pts, resolved, level=12)
+    if emit_fingerprints:
+        knn.persist()
+    counts["knn"] = timed("knn_assign", knn.count)
+
+    if emit_fingerprints:
+        fingerprints["problems"] = content_fingerprint(
+            probs.select("way_id", "site", "sub", "layer", "style", "problem")
+        )
+        fingerprints["tiles"] = content_fingerprint(tiles)
+        fingerprints["knn"] = content_fingerprint(
+            knn.select("point_id", "way_id", F.round("dist_m", 6).alias("d"))
+        )
+
+    # drop pipeline caches so the analytics legs run unpressured
+    spark.catalog.clearCache()
+
+    # analytics legs on the driver testdata at SF_DIR
+    counts["q01"] = timed("q01_pricing_summary", lambda: em.q01_pricing_summary(spark, SF_DIR).count())
+    counts["q02"] = timed("q02_top_orders", lambda: em.q02_top_orders(spark, SF_DIR).count())
+    counts["q03"] = timed("q03_first_item", lambda: em.q03_first_item_per_order(spark, SF_DIR).count())
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    counts["minhash_pairs"] = timed(
+        "minhash_dedup",
+        lambda: minhash_lsh_pairs(
+            docs.unionByName(
+                docs.withColumn("doc_id", F.col("doc_id") + 10_000_000)
+            ),
+            jaccard_threshold=0.8,
+        ).count(),
+    )
+
+    probs.unpersist()
+    tiles.unpersist()
+
+    total = round(sum(timings.values()), 3)
+    flagged_per_sec = round(counts["flagged"] / max(timings["wayproblems_e2e"], 1e-9), 1)
+    tiles_per_sec = round(counts["tiles"] / max(timings["tile_counts"], 1e-9), 1)
+    return {
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "counts": counts,
+        "flagged_per_sec": flagged_per_sec,
+        "tiles_per_sec": tiles_per_sec,
+        "cpus": CPUS,
+        "bench_pages": BENCH_PAGES,
+        **({"fingerprints": fingerprints} if emit_fingerprints else {}),
+    }
+
+
+def main_single():
+    from wayproblems_spark.session import get_spark
+
+    spark = get_spark(app_name="wayproblems-bench", master=f"local[{CPUS}]")
+    emit_fp = os.environ.get("SPARK_GRAFT_EMIT_FP") == "1"
+    result = run_suite(spark, emit_fingerprints=emit_fp)
+    print(json.dumps(result))
+
+
+def main_scaling():
+    """local[8] vs local[32] on identical input: throughput, efficiency,
+    bit-stability (BASELINE.md protocol)."""
+    results = {}
+    for cpus in ("8", "32"):
+        env = dict(os.environ)
+        env.update(
+            SPARK_GRAFT_CPUS=cpus,
+            SPARK_GRAFT_EMIT_FP="1",
+            SPARK_GRAFT_SHUFFLE=cpus,
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, cwd=REPO,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+
+    r8, r32 = results["8"], results["32"]
+    t8, t32 = r8["value"], r32["value"]
+    eff = (t8 / t32) / 4.0
+    stable = r8["fingerprints"] == r32["fingerprints"]
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(md, "w") as f:
+        f.write("# BENCH — two-parallelism scaling run (BASELINE.md protocol)\n\n")
+        f.write(f"Input: identical cached corpus ({r8['bench_pages']} pages) + {SF_DIR}.\n\n")
+        f.write("| metric | local[8] (N) | local[32] (4N) |\n|---|---|---|\n")
+        f.write(f"| total wall (s) | {t8} | {t32} |\n")
+        f.write(f"| flagged-features/sec | {r8['flagged_per_sec']} | {r32['flagged_per_sec']} |\n")
+        f.write(f"| tiles/sec | {r8['tiles_per_sec']} | {r32['tiles_per_sec']} |\n")
+        for q in r8["queries"]:
+            f.write(f"| {q} (s) | {r8['queries'][q]} | {r32['queries'][q]} |\n")
+        f.write(f"\nScaling efficiency (wall-clock, (T8/T32)/4): **{eff:.3f}** (target ≥ 0.8 on real executors; local-mode shares one JVM/page-cache so this is a lower bound)\n\n")
+        f.write(f"Bit-stability: join output rows + tile assignments + kNN fingerprints identical across both runs: **{stable}**\n\n")
+        f.write(f"Fingerprints: `{r8['fingerprints']}` vs `{r32['fingerprints']}`\n")
+    print(json.dumps({
+        "metric": "scaling_efficiency", "value": round(eff, 3), "unit": "ratio",
+        "bit_stable": stable,
+        "queries": {"wall_local8": t8, "wall_local32": t32},
+        "sf": r8["sf"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    else:
+        main_single()

@@ -251,11 +251,65 @@ def neighbor_cells_udf(level: int):
                     ii = np.clip(i + di, 0, lim).astype(np.uint64)
                     jj = np.clip(j + dj, 0, lim).astype(np.uint64)
                     cells.append(faceij_to_id(face, ii, jj, level).view(np.int64))
+            # no per-row dedup (only face-edge clamps produce duplicates and
+            # downstream min-aggregations are duplicate-insensitive)
             mat = np.stack(cells, axis=1)
-            return pd.Series([np.unique(row).tolist() for row in mat])
+            return pd.Series(mat.tolist())
 
         _udf_cache[key] = _nbr
     return _udf_cache[key]
+
+
+def latlon_to_grid(lat: np.ndarray, lon: np.ndarray, level: int) -> np.ndarray:
+    """Packed face/i/j grid id at `level`: (face<<58)|(gi<<29)|gj.
+
+    Same cell geometry as the S2 id (identical face/ST/(i,j) pipeline) but
+    WITHOUT the Hilbert position — for equi-joins and neighbor arithmetic
+    the space-filling order is irrelevant, and this encoding lets the 3×3
+    neighborhood be computed JVM-side with bit ops (no UDF)."""
+    x, y, z = _xyz(np.asarray(lat, dtype=np.float64), np.asarray(lon, dtype=np.float64))
+    face, u, v = _face_uv(x, y, z)
+    shift = MAX_LEVEL - level
+    gi = (_st_to_ij(_uv_to_st(u)) >> np.uint64(shift)).astype(np.int64)
+    gj = (_st_to_ij(_uv_to_st(v)) >> np.uint64(shift)).astype(np.int64)
+    return (face << 58) | (gi << 29) | gj
+
+
+def grid_udf(level: int):
+    """(lat, lon) → packed grid id (long)."""
+    key = ("grid", level)
+    if key not in _udf_cache:
+
+        @pandas_udf("long")
+        def _enc(lat: pd.Series, lon: pd.Series) -> pd.Series:
+            return pd.Series(latlon_to_grid(lat.to_numpy(), lon.to_numpy(), level))
+
+        _udf_cache[key] = _enc
+    return _udf_cache[key]
+
+
+def with_grid(df: DataFrame, lat_col: str, lon_col: str, level: int, out: str = "gcell") -> DataFrame:
+    return df.withColumn(out, grid_udf(level)(F.col(lat_col), F.col(lon_col)))
+
+
+def neighbor_grid_ids(gid, level: int):
+    """array<long> of the 3×3 same-face neighborhood — pure JVM bit
+    arithmetic over the packed grid id (clamped at face edges)."""
+    lim = (1 << level) - 1
+    face = F.shiftright(gid, 58)
+    gi = F.shiftright(gid, 29).bitwiseAND(F.lit((1 << 29) - 1))
+    gj = gid.bitwiseAND(F.lit((1 << 29) - 1))
+    items = []
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            ii = F.greatest(F.lit(0), F.least(gi + di, F.lit(lim)))
+            jj = F.greatest(F.lit(0), F.least(gj + dj, F.lit(lim)))
+            items.append(
+                F.shiftleft(face, 58)
+                .bitwiseOR(F.shiftleft(ii, 29))
+                .bitwiseOR(jj)
+            )
+    return F.array(*items)
 
 
 def covering_cells(lon0, lat0, lon1, lat1, level: int) -> np.ndarray:

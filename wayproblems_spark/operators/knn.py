@@ -30,17 +30,19 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .cells import MAX_LEVEL, neighbor_cells_udf, with_cell
+from .cells import MAX_LEVEL, neighbor_grid_ids, with_grid
 
 EARTH_RADIUS_M = 6371008.8
 
-# Minimum S2 cell edge length at level L, conservative (kMinEdge ≈
-# 2*sqrt(2)/3 / 2^L radians ≈ 0.943/2^L). We use an extra 2× safety margin.
+# Minimum S2 cell edge length at level L (kMinEdge ≈ 2*sqrt(2)/3 / 2^L
+# radians ≈ 0.943/2^L). A point's 3×3 neighborhood border is at least one
+# full min-edge away, so best_dist < cell_min_edge_m(level) proves tier
+# exactness.
 _MIN_EDGE_RAD = 2.0 * math.sqrt(2.0) / 3.0
 
 
 def cell_min_edge_m(level: int) -> float:
-    return _MIN_EDGE_RAD / (1 << level) * EARTH_RADIUS_M / 2.0
+    return _MIN_EDGE_RAD / (1 << level) * EARTH_RADIUS_M
 
 
 def haversine_m(lat1, lon1, lat2, lon2):
@@ -59,9 +61,15 @@ def way_vertices(resolved_ways: DataFrame) -> DataFrame:
 
 
 def _best_candidates(pts: DataFrame, verts_cells: DataFrame, level: int) -> DataFrame:
-    """One tier: ring join + per-point min(struct(dist, way_id))."""
-    p = pts.withColumn("nbrs", neighbor_cells_udf(level)(F.col("lat"), F.col("lon")))
-    p = p.select("point_id", "lat", "lon", F.explode("nbrs").alias("cell"))
+    """One tier: ring join + per-point min(struct(dist, way_id)).
+
+    The point side carries ONE grid-encode UDF; the 3×3 ring expansion is
+    JVM bit arithmetic (neighbor_grid_ids) — no per-neighbor Python."""
+    p = with_grid(pts, "lat", "lon", level, out="g")
+    p = p.select(
+        "point_id", "lat", "lon",
+        F.explode(neighbor_grid_ids(F.col("g"), level)).alias("cell"),
+    )
     cand = p.join(verts_cells, "cell")
     d = haversine_m(F.col("lat"), F.col("lon"), F.col("vlat"), F.col("vlon"))
     return (
@@ -88,19 +96,22 @@ def knn_nearest_way(
 ) -> DataFrame:
     """points(point_id, lat, lon) × ways(way_id, geom) → (point_id, way_id,
     dist_m). Exact; deterministic ties on way_id."""
-    coarse_level = coarse_level if coarse_level is not None else max(level - 4, 1)
-    verts = way_vertices(resolved_ways)
+    coarse_level = coarse_level if coarse_level is not None else max(level - 2, 1)
+    # both tiers + the brute tail reuse these: persist once (at cluster scale
+    # swap for a checkpoint/bucketed materialization)
+    verts = way_vertices(resolved_ways).persist()
+    vfine = with_grid(verts, "vlat", "vlon", level, out="cell")
+    vcoarse = with_grid(verts, "vlat", "vlon", coarse_level, out="cell")
 
-    vfine = with_cell(verts, "vlat", "vlon", level, out="cell")
-    vcoarse = with_cell(verts, "vlat", "vlon", coarse_level, out="cell")
+    pts = points.select("point_id", "lat", "lon").persist()
 
-    pts = points.select("point_id", "lat", "lon")
-
-    t1 = _best_candidates(pts, vfine, level)
+    # persist each tier: its rows feed both the accepted output and the
+    # next tier's anti-join — without this the expensive join runs twice
+    t1 = _best_candidates(pts, vfine, level).persist()
     ok1 = t1.filter(F.col("dist_m") < cell_min_edge_m(level))
 
     rest1 = pts.join(ok1.select("point_id"), "point_id", "left_anti")
-    t2 = _best_candidates(rest1, vcoarse, coarse_level)
+    t2 = _best_candidates(rest1, vcoarse, coarse_level).persist()
     ok2 = t2.filter(F.col("dist_m") < cell_min_edge_m(coarse_level))
 
     rest2 = rest1.join(ok2.select("point_id"), "point_id", "left_anti")
