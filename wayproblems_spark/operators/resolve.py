@@ -20,6 +20,7 @@ fixtures) pass ``broadcast_nodes=True`` to skip both shuffles.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -49,6 +50,34 @@ def resolve_locations(
         )
         .drop("_v")
     )
+
+
+def resolve_locations_mapside(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Shuffle-free variant: broadcast the whole node index and resolve refs
+    inside an Arrow-batched UDF — the literal distributed analog of the
+    reference's in-RAM FlexMem index (wayproblems.cpp:28-39).
+
+    Use when (a) the node table fits in executor memory (regional extracts)
+    or (b) the way side is a stream (no aggregations allowed in append
+    mode). The batch join variant remains the planet-scale default.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    spark = ways.sparkSession
+    idx = {
+        int(r["node_id"]): (float(r["lon"]), float(r["lat"]))
+        for r in nodes.select("node_id", "lon", "lat").collect()
+    }
+    bv = spark.sparkContext.broadcast(idx)
+
+    @pandas_udf("array<struct<lon:double,lat:double>>")
+    def _resolve(refs: pd.Series) -> pd.Series:
+        m = bv.value
+        return refs.map(
+            lambda arr: [m[r] for r in arr if r in m] if arr is not None else []
+        )
+
+    return ways.withColumn("geom", _resolve(F.col("nodes")))
 
 
 def drop_invalid_geometry(ways: DataFrame) -> DataFrame:
