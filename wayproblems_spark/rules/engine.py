@@ -45,6 +45,20 @@ def emissions_column(env: Env) -> Column:
     return F.filter(combined, lambda x: x.isNotNull())
 
 
+# Building the ~230-site Column tree costs seconds of py4j round-trips; the
+# expression is input-independent (references only `tags`/`_closed`), so it
+# is built once per process and reused across every problems() call.
+_EMISSIONS_CACHE: dict = {}
+
+
+def _canonical_emissions() -> Column:
+    key = "emissions"
+    if key not in _EMISSIONS_CACHE:
+        env = Env(tags=F.col("tags"), closed=F.col("_closed"))
+        _EMISSIONS_CACHE[key] = F.explode(emissions_column(env))
+    return _EMISSIONS_CACHE[key]
+
+
 def problems(ways: DataFrame, apply_gate: bool = True) -> DataFrame:
     """Run the full catalogue; one output row per (way, emission).
 
@@ -59,10 +73,9 @@ def problems(ways: DataFrame, apply_gate: bool = True) -> DataFrame:
     ) if "nodes" in df.columns else F.lit(False)
     df = df.withColumn("_closed", F.coalesce(closed, F.lit(False)))
 
-    env = Env(tags=F.col("tags"), closed=F.col("_closed"))
     passthrough = [c for c in ("geom",) if c in df.columns]
     exploded = df.select(
-        *ENVELOPE, *passthrough, F.explode(emissions_column(env)).alias("e")
+        *ENVELOPE, *passthrough, _canonical_emissions().alias("e")
     )
     return exploded.select(
         "way_id",
