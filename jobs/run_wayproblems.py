@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""spark-submit entry point (north_rule: `spark-submit --py-files`).
+
+    spark-submit --py-files wayproblems_spark.zip jobs/run_wayproblems.py \
+        --pages /data/pages_parquet --out /data/wayproblems_out \
+        [--buckets 64] [--resume] [--tile-z 12]
+
+Reads a pages table (url, warc_ts, html, text, lang), runs extraction →
+geoparse → node resolution → the full rule catalogue, writes:
+  out/problems/    layer-partitioned parquet (9-field reference schema)
+  out/tiles/       per-tile problem counts
+  out/meta.json    style/layer presentation metadata
+  out/checkpoints/ per-bucket lineage log (resume with --resume)
+  stdout           one reference-format log line per problem (optional)
+
+Packaging helper: `python jobs/run_wayproblems.py --make-zip` writes
+wayproblems_spark.zip next to the repo for --py-files.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import zipfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_zip(repo_root: str) -> str:
+    zpath = os.path.join(repo_root, "wayproblems_spark.zip")
+    pkg = os.path.join(repo_root, "wayproblems_spark")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _, files in os.walk(pkg):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    z.write(full, os.path.relpath(full, repo_root))
+    return zpath
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", help="pages parquet path")
+    ap.add_argument("--out", help="output directory")
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--tile-z", type=int, default=12)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--log-stdout", action="store_true")
+    ap.add_argument("--make-zip", action="store_true")
+    args = ap.parse_args()
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if args.make_zip:
+        print(make_zip(repo_root))
+        return
+    if not args.pages or not args.out:
+        ap.error("--pages and --out are required")
+
+    from pyspark.sql import SparkSession
+
+    from wayproblems_spark.operators.tiles import tile_counts
+    from wayproblems_spark.pipeline import wayproblems_from_pages
+    from wayproblems_spark.plans.checkpoint import CheckpointLog, run_bucketed
+    from wayproblems_spark.rules import stdout_log
+    from wayproblems_spark.sinks.meta import write_meta
+    from wayproblems_spark.sinks.writer import layer_features
+
+    spark = SparkSession.builder.appName("wayproblems").getOrCreate()
+    pages = spark.read.parquet(args.pages)
+
+    log = CheckpointLog(os.path.join(args.out, "checkpoints"))
+    if not args.resume and log.completed():
+        raise SystemExit(
+            "checkpoint log not empty; pass --resume to continue or clear it"
+        )
+
+    def transform(pages_bucket):
+        return layer_features(wayproblems_from_pages(pages_bucket, broadcast_nodes=False))
+
+    run_bucketed(
+        pages, "url", args.buckets, transform, log,
+        os.path.join(args.out, "problems"),
+    )
+
+    problems_df = spark.read.parquet(os.path.join(args.out, "problems", "bucket=*"))
+    probs = wayproblems_from_pages(pages, broadcast_nodes=False)
+    tile_counts(probs, args.tile_z).write.mode("overwrite").parquet(
+        os.path.join(args.out, "tiles")
+    )
+    write_meta(os.path.join(args.out, "meta.json"))
+
+    if args.log_stdout:
+        for row in stdout_log(probs).orderBy("way_id", "site", "sub").toLocalIterator():
+            print(row["line"])
+
+    print(f"problems rows: {problems_df.count()}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+"""P7/P8/P10 sinks: layer-partitioned write, schema parity, stdout format."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from wayproblems_spark.fixtures.pages import generate_corpus, pages_df
+from wayproblems_spark.pipeline import wayproblems_from_pages
+from wayproblems_spark.rules import stdout_log
+from wayproblems_spark.sinks.meta import meta_dict, write_meta
+from wayproblems_spark.sinks.writer import LAYER_FIELD_ORDER, write_problems
+
+
+def test_write_problems_layer_partitioned(spark, tmp_path):
+    corpus = generate_corpus(n_pages=200, seed=4, split="unit")
+    probs = wayproblems_from_pages(pages_df(spark, corpus))
+    out = str(tmp_path / "problems")
+    write_problems(probs, out)
+
+    back = spark.read.parquet(out)
+    # reference 9-field schema present (+ geometry/ordering/partition cols)
+    for f in LAYER_FIELD_ORDER:
+        assert f in back.columns
+    assert "layer" in back.columns and "geometry" in back.columns
+    # quirk Q6: key/value carried but always null
+    assert back.filter(F.col("key").isNotNull() | F.col("value").isNotNull()).count() == 0
+    # geometry is WKT linestring
+    assert back.filter(~F.col("geometry").startswith("LINESTRING (")).count() == 0
+    assert back.count() == probs.count()
+
+    # partition pruning: reading one layer touches only that directory
+    one = spark.read.parquet(out).filter(F.col("layer") == "defaults")
+    from .test_plans import plan_str
+
+    assert "PartitionFilters: [isnotnull(layer" in plan_str(one)
+
+
+def test_stdout_log_format(spark):
+    corpus = generate_corpus(n_pages=120, seed=4, split="unit")
+    probs = wayproblems_from_pages(pages_df(spark, corpus))
+    lines = stdout_log(probs).collect()
+    assert len(lines) == probs.count() and len(lines) > 0
+    import re
+
+    pat = re.compile(
+        r'^way=\d+ problem=".*" \|\|  changeset=\d+ user=".+" '
+        r"timestamp=\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z layer=\w+ version=\d+$"
+    )
+    for r in lines:
+        assert pat.match(r["line"]), r["line"]
+
+
+def test_meta(tmp_path):
+    m = meta_dict()
+    assert m["style.steelline.color"] == "#374e66"
+    assert m["layer.defaults.columns:0"] == "id"
+    assert m["layer.wayproblems.srid"] == "4326"
+    p = str(tmp_path / "meta.json")
+    write_meta(p)
+    assert json.load(open(p)) == m
