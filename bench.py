@@ -115,7 +115,7 @@ def run_suite(spark, emit_fingerprints: bool = False) -> dict:
 
     # kNN: nodes → nearest way
     pts = nodes.select(F.col("node_id").alias("point_id"), "lat", "lon")
-    knn = knn_nearest_way(pts, resolved, level=12)
+    knn = knn_nearest_way(pts, resolved, level=None)
     if emit_fingerprints:
         knn.persist()
     counts["knn"] = timed("knn_assign", knn.count)

@@ -88,18 +88,42 @@ def _best_candidates(pts: DataFrame, verts_cells: DataFrame, level: int) -> Data
     )
 
 
+def pick_level(verts: DataFrame, probe_level: int = 12, target_occupancy: int = 12) -> int:
+    """Density-adaptive cell level: probe occupancy at `probe_level`, then
+    adjust so the mean verts-per-cell ≈ target. Keeps the ring-join
+    candidate count ~O(points · 9 · target) instead of growing
+    quadratically with density (the 100TB-scale guard)."""
+    probed = with_grid(verts, "vlat", "vlon", probe_level, out="_g")
+    row = probed.agg(
+        F.count("*").alias("n"), F.approx_count_distinct("_g").alias("c")
+    ).collect()[0]
+    n, c = row["n"], max(row["c"], 1)
+    occ = n / c
+    level = probe_level
+    while occ > 2 * target_occupancy and level < MAX_LEVEL - 2:
+        level += 1
+        occ /= 4.0
+    while occ < target_occupancy / 4.0 and level > 4:
+        level -= 1
+        occ *= 4.0
+    return level
+
+
 def knn_nearest_way(
     points: DataFrame,
     resolved_ways: DataFrame,
-    level: int = 12,
+    level: int | None = 12,
     coarse_level: int | None = None,
 ) -> DataFrame:
     """points(point_id, lat, lon) × ways(way_id, geom) → (point_id, way_id,
-    dist_m). Exact; deterministic ties on way_id."""
-    coarse_level = coarse_level if coarse_level is not None else max(level - 2, 1)
+    dist_m). Exact; deterministic ties on way_id. level=None → density-
+    adaptive."""
     # both tiers + the brute tail reuse these: persist once (at cluster scale
     # swap for a checkpoint/bucketed materialization)
     verts = way_vertices(resolved_ways).persist()
+    if level is None:
+        level = pick_level(verts)
+    coarse_level = coarse_level if coarse_level is not None else max(level - 2, 1)
     vfine = with_grid(verts, "vlat", "vlon", level, out="cell")
     vcoarse = with_grid(verts, "vlat", "vlon", coarse_level, out="cell")
 
