@@ -88,10 +88,10 @@ def run_suite(spark, emit_fingerprints: bool = False) -> dict:
         timings[name] = round(time.perf_counter() - t0, 3)
         return out
 
-    # fixed partition count at BOTH parallelism levels: the corpus parquet is
-    # small enough that file-split planning would otherwise serialize the
-    # Arrow-UDF stages (maxPartitionBytes ≫ file sizes)
-    pages = spark.read.parquet(pages_path).repartition(128)
+    # identical input-split planning at BOTH parallelism levels (the session
+    # sets files.maxPartitionBytes=16m for bench-scale data) — no runtime
+    # repartition shuffle in the measured path
+    pages = spark.read.parquet(pages_path)
 
     # e2e: extract (G1) — byte-identity validated inline on the same pass
     def _extract():
@@ -137,7 +137,8 @@ def run_suite(spark, emit_fingerprints: bool = False) -> dict:
     counts["q02"] = timed("q02_top_orders", lambda: em.q02_top_orders(spark, SF_DIR).count())
     counts["q03"] = timed("q03_first_item", lambda: em.q03_first_item_per_order(spark, SF_DIR).count())
 
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # single-file table → split for parallel shingle/minhash evaluation
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(64, "doc_id")
     counts["minhash_pairs"] = timed(
         "minhash_dedup",
         lambda: minhash_lsh_pairs(
@@ -176,7 +177,18 @@ def run_suite(spark, emit_fingerprints: bool = False) -> dict:
 def main_single():
     from wayproblems_spark.session import get_spark
 
-    spark = get_spark(app_name="wayproblems-bench", master=f"local[{CPUS}]")
+    spark = get_spark(
+        app_name="wayproblems-bench",
+        master=f"local[{CPUS}]",
+        extra_conf={
+            # bench corpora are ~0.5-2GB; default 128m bins would plan <8
+            # splits and serialize the Arrow stages. On a real 100TB run the
+            # default is correct - this is a data-size-proportional knob.
+            "spark.sql.files.maxPartitionBytes": os.environ.get(
+                "SPARK_GRAFT_MAXPART", "16m"
+            ),
+        },
+    )
     emit_fp = os.environ.get("SPARK_GRAFT_EMIT_FP") == "1"
     result = run_suite(spark, emit_fingerprints=emit_fp)
     print(json.dumps(result))
