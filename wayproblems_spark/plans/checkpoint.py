@@ -90,9 +90,12 @@ def run_bucketed(
             continue
         part = bdf.filter(F.col("bucket") == b).drop("bucket")
         result = transform(part)
-        result.write.mode("overwrite").parquet(os.path.join(output_dir, f"bucket={b}"))
-        n = result.count()
-        fp = content_fingerprint(result)
+        out_path = os.path.join(output_dir, f"bucket={b}")
+        result.write.mode("overwrite").parquet(out_path)
+        # count + fingerprint from the written files: one compute pass total
+        written = part.sparkSession.read.parquet(out_path)
+        n = written.count()
+        fp = content_fingerprint(written)
         log.mark(b, n, fp)
         processed.append(b)
         if fail_after is not None and len(processed) >= fail_after:
