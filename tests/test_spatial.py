@@ -176,6 +176,25 @@ def test_tiles_vs_oracle(spark):
     assert all(p["pidx"] < PIX * PIX for p in one["pixels"])
 
 
+def test_tile_pyramid_matches_per_level_counts(spark):
+    from wayproblems_spark.operators.tiles import tile_pyramid
+    from wayproblems_spark.rules import problems
+
+    corpus, ways, nodes, _ = _corpus_frames(spark, seed=5, n_pages=150)
+    resolved = drop_invalid_geometry(resolve_locations(ways, nodes, broadcast_nodes=True))
+    probs = problems(resolved)
+    pyr = {
+        (r["tile_z"], r["tile_x"], r["tile_y"], r["layer"]): r["problem_count"]
+        for r in tile_pyramid(probs, 8, 12).collect()
+    }
+    for z in (8, 10, 12):
+        per = {
+            (r["tile_z"], r["tile_x"], r["tile_y"], r["layer"]): r["problem_count"]
+            for r in tile_counts(probs, z).collect()
+        }
+        assert per == {k: v for k, v in pyr.items() if k[0] == z}
+
+
 def test_bit_stability_across_parallelism(spark):
     """north_rule: identical join rows and tile assignments when the same
     job runs at different parallelism (here: different shuffle partitioning

@@ -53,6 +53,31 @@ def haversine_m(lat1, lon1, lat2, lon2):
     return 2.0 * EARTH_RADIUS_M * F.asin(F.sqrt(a))
 
 
+def _with_xyz(df: DataFrame, lat_col: str, lon_col: str, prefix: str) -> DataFrame:
+    """Unit-sphere XYZ — trig once per ROW so the candidate join needs none."""
+    rl = F.radians(F.col(lat_col))
+    rlon = F.radians(F.col(lon_col))
+    return df.withColumns(
+        {
+            f"{prefix}x": F.cos(rl) * F.cos(rlon),
+            f"{prefix}y": F.cos(rl) * F.sin(rlon),
+            f"{prefix}z": F.sin(rl),
+        }
+    )
+
+
+def _chord2(px, py, pz, vx, vy, vz):
+    """Squared 3D chord length — strictly monotonic in great-circle
+    distance, so min(struct(chord2, way_id)) picks the same winner as the
+    haversine, with zero trig per candidate pair."""
+    dx, dy, dz = px - vx, py - vy, pz - vz
+    return dx * dx + dy * dy + dz * dz
+
+
+def _chord2_to_m(c2):
+    return 2.0 * EARTH_RADIUS_M * F.asin(F.sqrt(c2) / 2.0)
+
+
 def way_vertices(resolved_ways: DataFrame) -> DataFrame:
     """Explode resolved geometries to (way_id, vlat, vlon)."""
     return resolved_ways.select(
@@ -61,34 +86,35 @@ def way_vertices(resolved_ways: DataFrame) -> DataFrame:
 
 
 def _best_candidates(pts: DataFrame, verts_cells: DataFrame, level: int) -> DataFrame:
-    """One tier: ring join + per-point min(struct(dist, way_id)).
+    """One tier: ring join + per-point min(struct(chord2, way_id)).
 
     The point side carries ONE grid-encode UDF; the 3×3 ring expansion is
-    JVM bit arithmetic (neighbor_grid_ids) — no per-neighbor Python."""
-    p = with_grid(pts, "lat", "lon", level, out="g")
+    JVM bit arithmetic (neighbor_grid_ids); the pair distance is a
+    trig-free squared chord (monotonic with haversine) converted to meters
+    only for the single per-point winner."""
+    p = _with_xyz(with_grid(pts, "lat", "lon", level, out="g"), "lat", "lon", "p")
     p = p.select(
-        "point_id", "lat", "lon",
+        "point_id", "px", "py", "pz",
         F.explode(neighbor_grid_ids(F.col("g"), level)).alias("cell"),
     )
     cand = p.join(verts_cells, "cell")
-    d = haversine_m(F.col("lat"), F.col("lon"), F.col("vlat"), F.col("vlon"))
+    c2 = _chord2(
+        F.col("px"), F.col("py"), F.col("pz"),
+        F.col("vx"), F.col("vy"), F.col("vz"),
+    )
     return (
-        cand.select("point_id", "lat", "lon", "way_id", d.alias("dist"))
+        cand.select("point_id", "way_id", c2.alias("c2"))
         .groupBy("point_id")
-        .agg(
-            F.min(F.struct("dist", "way_id")).alias("best"),
-            F.first("lat").alias("lat"),
-            F.first("lon").alias("lon"),
-        )
+        .agg(F.min(F.struct("c2", "way_id")).alias("best"))
         .select(
-            "point_id", "lat", "lon",
+            "point_id",
             F.col("best.way_id").alias("way_id"),
-            F.col("best.dist").alias("dist_m"),
+            _chord2_to_m(F.col("best.c2")).alias("dist_m"),
         )
     )
 
 
-def pick_level(verts: DataFrame, probe_level: int = 12, target_occupancy: int = 12) -> int:
+def pick_level(verts: DataFrame, probe_level: int = 12, target_occupancy: int = 4) -> int:
     """Density-adaptive cell level: probe occupancy at `probe_level`, then
     adjust so the mean verts-per-cell ≈ target. Keeps the ring-join
     candidate count ~O(points · 9 · target) instead of growing
@@ -120,7 +146,7 @@ def knn_nearest_way(
     adaptive."""
     # both tiers + the brute tail reuse these: persist once (at cluster scale
     # swap for a checkpoint/bucketed materialization)
-    verts = way_vertices(resolved_ways).persist()
+    verts = _with_xyz(way_vertices(resolved_ways), "vlat", "vlon", "v").persist()
     if level is None:
         level = pick_level(verts)
     coarse_level = coarse_level if coarse_level is not None else max(level - 2, 1)
@@ -140,16 +166,20 @@ def knn_nearest_way(
 
     rest2 = rest1.join(ok2.select("point_id"), "point_id", "left_anti")
     # tier 3: brute force the stragglers (crossJoin; small by construction)
-    d = haversine_m(F.col("lat"), F.col("lon"), F.col("vlat"), F.col("vlon"))
+    p3 = _with_xyz(rest2, "lat", "lon", "p")
+    c2 = _chord2(
+        F.col("px"), F.col("py"), F.col("pz"),
+        F.col("vx"), F.col("vy"), F.col("vz"),
+    )
     t3 = (
-        rest2.crossJoin(verts)
-        .select("point_id", d.alias("dist"), "way_id")
+        p3.crossJoin(verts)
+        .select("point_id", c2.alias("c2"), "way_id")
         .groupBy("point_id")
-        .agg(F.min(F.struct("dist", "way_id")).alias("best"))
+        .agg(F.min(F.struct("c2", "way_id")).alias("best"))
         .select(
             "point_id",
             F.col("best.way_id").alias("way_id"),
-            F.col("best.dist").alias("dist_m"),
+            _chord2_to_m(F.col("best.c2")).alias("dist_m"),
         )
     )
     sel = ("point_id", "way_id", "dist_m")

@@ -65,6 +65,30 @@ def tile_counts(problems_df: DataFrame, z: int) -> DataFrame:
     )
 
 
+def tile_pyramid(problems_df: DataFrame, z_min: int = 6, z_max: int = 15) -> DataFrame:
+    """Full tile pyramid: per-tile layer counts at every zoom in
+    [z_min, z_max] — the standard production tiling workload. One anchored
+    scan feeds all levels via explode over the zoom range; a single shuffle
+    on (z, x, y, layer)."""
+    df = problem_anchor(problems_df)
+    zooms = F.explode(
+        F.sequence(F.lit(z_min), F.lit(z_max)).cast("array<int>")
+    ).alias("tile_z")
+    df = df.select("layer", "_lon", "_lat", zooms)
+    n = F.pow(F.lit(2.0), F.col("tile_z"))
+    fx = (F.col("_lon") + 180.0) / 360.0 * n
+    lat_rad = F.radians("_lat")
+    fy = (1.0 - F.log(F.tan(lat_rad) + 1.0 / F.cos(lat_rad)) / math.pi) / 2.0 * n
+    x = F.greatest(F.lit(0.0), F.least(F.floor(fx), n - 1)).cast("int")
+    y = F.greatest(F.lit(0.0), F.least(F.floor(fy), n - 1)).cast("int")
+    return (
+        df.withColumn("tile_x", x)
+        .withColumn("tile_y", y)
+        .groupBy("tile_z", "tile_x", "tile_y", "layer")
+        .agg(F.count("*").alias("problem_count"))
+    )
+
+
 def rasterize(problems_df: DataFrame, z: int) -> DataFrame:
     """vector→raster: per-tile PIX×PIX pixel counts."""
     df = problem_anchor(problems_df)
