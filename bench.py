@@ -242,8 +242,9 @@ def main_scaling():
     local_dir = "/dev/shm/wp_spark_local"
     os.makedirs(local_dir, exist_ok=True)
 
+    levels = os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "8,32").split(",")
     results = {}
-    for cpus in ("8", "32"):
+    for cpus in levels:
         env = dict(os.environ)
         env.update(
             SPARK_GRAFT_CPUS=cpus,
@@ -268,7 +269,7 @@ def main_scaling():
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         results[cpus] = json.loads(line)
 
-    r8, r32 = results["8"], results["32"]
+    r8, r32 = results[levels[0]], results[levels[1]]
     t8, t32 = r8["value"], r32["value"]
     eff = {
         "flagged_per_sec": round((r32["flagged_per_sec"] / r8["flagged_per_sec"]) / 4.0, 3),
