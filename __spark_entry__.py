@@ -148,7 +148,7 @@ def q08_rule_layer_sql(spark, sf_dir):
         F.col("l_linenumber") == 1
     )
     is_int = F.col("layer_val").rlike(r"^\s*[+-]?\d+$")
-    ival = F.when(is_int, F.col("layer_val").cast("long"))
+    ival = F.when(is_int, F.col("layer_val").try_cast("long"))
     problem = (
         F.when(~is_int, F.format_string("layer=%s is not integer", "layer_val"))
         .when(ival == 0, F.format_string("layer=%s is default", "layer_val"))

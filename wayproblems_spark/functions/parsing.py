@@ -43,13 +43,14 @@ def key_value_is_false(tags: Column, key: str) -> Column:
 
 def strict_int(col: Column) -> Column:
     """Full-string int parse → value, null when invalid (cpp:232-245)."""
-    ok = col.rlike(STRICT_INT_RE) & col.cast("long").between(INT32_MIN, INT32_MAX)
-    return F.when(F.coalesce(ok, F.lit(False)), col.cast("long"))
+    tl = col.try_cast("long")
+    ok = col.rlike(STRICT_INT_RE) & tl.between(INT32_MIN, INT32_MAX)
+    return F.when(F.coalesce(ok, F.lit(False)), tl)
 
 
 def prefix_float(col: Column) -> Column:
     """std::stof prefix parse → value, null when invalid (cpp:219-226)."""
-    return F.regexp_extract(col, PREFIX_FLOAT_RE, 0).cast("double")
+    return F.regexp_extract(col, PREFIX_FLOAT_RE, 0).try_cast("double")
 
 
 def prefix_int_ok(col: Column) -> Column:

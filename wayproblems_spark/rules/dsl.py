@@ -124,8 +124,11 @@ class IntOf(X):
 
     def col(self, env):
         t = env.tags.getItem(self.key)
-        ok = t.rlike(STRICT_INT_RE) & t.cast("long").between(INT32_MIN, INT32_MAX)
-        return F.when(F.coalesce(ok, F.lit(False)), t.cast("long")).otherwise(
+        # try_cast: ANSI mode is on by default in Spark 4 and AND guards
+        # are not guaranteed to short-circuit a throwing cast
+        tl = t.try_cast("long")
+        ok = t.rlike(STRICT_INT_RE) & tl.between(INT32_MIN, INT32_MAX)
+        return F.when(F.coalesce(ok, F.lit(False)), tl).otherwise(
             F.lit(INT_SENTINEL).cast("long")
         )
 
@@ -237,7 +240,7 @@ class IsStrictInt(P):
 
     def col(self, env):
         t = env.tags.getItem(self.key)
-        ok = t.rlike(STRICT_INT_RE) & t.cast("long").between(INT32_MIN, INT32_MAX)
+        ok = t.rlike(STRICT_INT_RE) & t.try_cast("long").between(INT32_MIN, INT32_MAX)
         return F.coalesce(ok, F.lit(False))
 
     def py(self, way):
@@ -285,7 +288,7 @@ class FloatCmp(P):
 
     def col(self, env):
         t = env.tags.getItem(self.key)
-        v = F.regexp_extract(t, PREFIX_FLOAT_RE, 0).cast("double")
+        v = F.regexp_extract(t, PREFIX_FLOAT_RE, 0).try_cast("double")
         c = v < self.bound if self.op == "lt" else v > self.bound
         return F.coalesce(c, F.lit(False))
 

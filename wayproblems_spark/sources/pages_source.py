@@ -70,17 +70,17 @@ def ways_from_pages(pages: DataFrame) -> DataFrame:
     ln = _lines(pages, "OSMWAY")
     tagstr = F.regexp_extract("line", r" tags=(.*)$", 1)
     return ln.select(
-        F.regexp_extract("line", r" id=(\d+)", 1).cast("long").alias("way_id"),
-        F.regexp_extract("line", r" version=(\d+)", 1).cast("int").alias("version"),
-        F.regexp_extract("line", r" changeset=(\d+)", 1).cast("long").alias("changeset"),
-        F.regexp_extract("line", r" uid=(\d+)", 1).cast("long").alias("uid"),
+        F.regexp_extract("line", r" id=(\d+)", 1).try_cast("long").alias("way_id"),
+        F.regexp_extract("line", r" version=(\d+)", 1).try_cast("int").alias("version"),
+        F.regexp_extract("line", r" changeset=(\d+)", 1).try_cast("long").alias("changeset"),
+        F.regexp_extract("line", r" uid=(\d+)", 1).try_cast("long").alias("uid"),
         F.regexp_extract("line", r" user=(\S+)", 1).alias("user"),
         F.to_timestamp(
             F.regexp_extract("line", r" ts=(\S+)", 1), "yyyy-MM-dd'T'HH:mm:ss'Z'"
         ).alias("ts"),
         F.transform(
             F.split(F.regexp_extract("line", r" nodes=(\S*)", 1), ","),
-            lambda x: x.cast("long"),
+            lambda x: x.try_cast("long"),
         ).alias("nodes"),
         F.when(tagstr == "", F.create_map().cast("map<string,string>"))
         .otherwise(F.str_to_map(tagstr, F.lit("\t"), F.lit("="))).alias("tags"),
@@ -91,9 +91,9 @@ def ways_from_pages(pages: DataFrame) -> DataFrame:
 def nodes_from_pages(pages: DataFrame) -> DataFrame:
     ln = _lines(pages, "OSMNODE")
     return ln.select(
-        F.regexp_extract("line", r" id=(\d+)", 1).cast("long").alias("node_id"),
-        F.regexp_extract("line", r" lat=(-?[\d.]+)", 1).cast("double").alias("lat"),
-        F.regexp_extract("line", r" lon=(-?[\d.]+)", 1).cast("double").alias("lon"),
+        F.regexp_extract("line", r" id=(\d+)", 1).try_cast("long").alias("node_id"),
+        F.regexp_extract("line", r" lat=(-?[\d.]+)", 1).try_cast("double").alias("lat"),
+        F.regexp_extract("line", r" lon=(-?[\d.]+)", 1).try_cast("double").alias("lon"),
     )
 
 
@@ -103,12 +103,12 @@ def polys_from_pages(pages: DataFrame) -> DataFrame:
     ring = F.transform(
         F.split(F.regexp_extract("line", r" ring=(.*)$", 1), ","),
         lambda p: F.struct(
-            F.split(p, " ").getItem(0).cast("double").alias("lon"),
-            F.split(p, " ").getItem(1).cast("double").alias("lat"),
+            F.split(p, " ").getItem(0).try_cast("double").alias("lon"),
+            F.split(p, " ").getItem(1).try_cast("double").alias("lat"),
         ),
     )
     return ln.select(
-        F.regexp_extract("line", r" id=(\d+)", 1).cast("long").alias("poly_id"),
+        F.regexp_extract("line", r" id=(\d+)", 1).try_cast("long").alias("poly_id"),
         F.regexp_extract("line", r" kind=(\S+)", 1).alias("kind"),
         ring.alias("ring"),
     )
