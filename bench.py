@@ -280,13 +280,14 @@ def main_scaling():
     stable = r8["fingerprints"] == r32["fingerprints"]
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    la, lb = levels[0], levels[1]
+    md = os.path.join(REPO, "BENCH", f"scaling_{la}v{lb}.md")
     with open(md, "w") as f:
         f.write("# BENCH — two-parallelism scaling run (BASELINE.md protocol)\n\n")
         f.write(f"Input: identical cached corpus ({r8['bench_pages']} pages) + {SF_DIR}.\n")
-        f.write("Same job, same input, local[8] (N) vs local[32] (4N cores);\n")
+        f.write(f"Same job, same input, local[{la}] (N) vs local[{lb}] (4N cores);\n")
         f.write("warmup (rule-projection build, python workers) excluded from timings.\n\n")
-        f.write("| metric | local[8] (N) | local[32] (4N) | efficiency ((v32/v8)/4) |\n|---|---|---|---|\n")
+        f.write(f"| metric | local[{la}] (N) | local[{lb}] (4N) | efficiency ((v4N/vN)/4) |\n|---|---|---|---|\n")
         f.write(f"| flagged-features/sec | {r8['flagged_per_sec']} | {r32['flagged_per_sec']} | {eff['flagged_per_sec']} |\n")
         f.write(f"| tiles/sec (problems rasterized) | {r8['tiles_per_sec']} | {r32['tiles_per_sec']} | {eff['tiles_per_sec']} |\n")
         f.write(f"| knn points/sec | {r8['knn_per_sec']} | {r32['knn_per_sec']} | {eff['knn_per_sec']} |\n")
@@ -294,7 +295,7 @@ def main_scaling():
         f.write("\nPer-leg wall seconds (warm = steady-state min of 2 reps; cold = first\n")
         f.write("run incl. one-time codegen JIT / AQE planning, which amortizes to zero\n")
         f.write("at production scale):\n\n")
-        f.write("| leg | local[8] warm | local[32] warm | local[8] cold | local[32] cold |\n|---|---|---|---|---|\n")
+        f.write(f"| leg | local[{la}] warm | local[{lb}] warm | local[{la}] cold | local[{lb}] cold |\n|---|---|---|---|---|\n")
         for q in r8["queries"]:
             f.write(
                 f"| {q} | {r8['queries'][q]} | {r32['queries'][q]} "
@@ -304,8 +305,8 @@ def main_scaling():
         f.write("worker pool across 'executors', so these numbers are a conservative\n")
         f.write("lower bound for the multi-executor cluster criterion (target ≥ 0.8).\n\n")
         f.write(f"Bit-stability: join output rows + tile assignments + kNN fingerprints identical across both runs: **{stable}**\n\n")
-        f.write(f"Fingerprints local[8]:  `{r8['fingerprints']}`\n\n")
-        f.write(f"Fingerprints local[32]: `{r32['fingerprints']}`\n")
+        f.write(f"Fingerprints local[{la}]:  `{r8['fingerprints']}`\n\n")
+        f.write(f"Fingerprints local[{lb}]: `{r32['fingerprints']}`\n")
     print(json.dumps({
         "metric": "scaling_efficiency", "value": eff["flagged_per_sec"], "unit": "ratio",
         "efficiencies": eff,
