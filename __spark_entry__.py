@@ -285,8 +285,8 @@ ORACLE = {
           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         s AS (
           SELECT user_id,
-                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                        ROWS UNBOUNDED PRECEDING) AS session_id
+                 CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
           FROM g)
         SELECT user_id, session_id, COUNT(*) AS n_events
         FROM s GROUP BY user_id, session_id
