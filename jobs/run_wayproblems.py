@@ -59,12 +59,19 @@ def main():
 
     from pyspark.sql import SparkSession
 
-    from wayproblems_spark.operators.tiles import tile_counts
-    from wayproblems_spark.pipeline import wayproblems_from_pages
+    from wayproblems_spark.operators.resolve import (
+        drop_invalid_geometry,
+        resolve_locations,
+    )
+    from wayproblems_spark.operators.tiles import tile_counts_anchored
     from wayproblems_spark.plans.checkpoint import CheckpointLog, run_bucketed
-    from wayproblems_spark.rules import stdout_log
+    from wayproblems_spark.rules import problems
     from wayproblems_spark.sinks.meta import write_meta
-    from wayproblems_spark.sinks.writer import layer_features
+    from wayproblems_spark.sinks.writer import layer_features, stdout_from_features
+    from wayproblems_spark.sources.pages_source import (
+        nodes_from_pages,
+        ways_from_pages,
+    )
 
     spark = SparkSession.builder.appName("wayproblems").getOrCreate()
     pages = spark.read.parquet(args.pages)
@@ -75,26 +82,43 @@ def main():
             "checkpoint log not empty; pass --resume to continue or clear it"
         )
 
-    def transform(pages_bucket):
-        return layer_features(wayproblems_from_pages(pages_bucket, broadcast_nodes=False))
+    # Node resolution is GLOBAL — a way's node refs live on arbitrary pages,
+    # so the resolve join must see the whole node table. Only after the
+    # geometry is attached do we bucket (by way_id: rule projection is
+    # per-way, so buckets are then fully independent). run_bucketed stages
+    # the resolved ways once partitioned by bucket, so the expensive
+    # extract+resolve happens exactly ONE time regardless of bucket count.
+    ways = ways_from_pages(pages).drop("src_url")
+    nodes = nodes_from_pages(pages)
+    resolved = drop_invalid_geometry(
+        resolve_locations(ways, nodes, broadcast_nodes=False)
+    )
+
+    def transform(resolved_bucket):
+        return layer_features(problems(resolved_bucket), with_anchor=True)
 
     run_bucketed(
-        pages, "url", args.buckets, transform, log,
+        resolved, "way_id", args.buckets, transform, log,
         os.path.join(args.out, "problems"),
     )
 
-    problems_df = spark.read.parquet(os.path.join(args.out, "problems", "bucket=*"))
-    probs = wayproblems_from_pages(pages, broadcast_nodes=False)
-    tile_counts(probs, args.tile_z).write.mode("overwrite").parquet(
-        os.path.join(args.out, "tiles")
-    )
+    # tiles + stdout replay come from what was just WRITTEN — zero recompute
+    feats = spark.read.parquet(os.path.join(args.out, "problems", "bucket=*"))
+    tile_counts_anchored(
+        feats, args.tile_z, "anchor_lon", "anchor_lat"
+    ).write.mode("overwrite").parquet(os.path.join(args.out, "tiles"))
     write_meta(os.path.join(args.out, "meta.json"))
 
     if args.log_stdout:
-        for row in stdout_log(probs).orderBy("way_id", "site", "sub").toLocalIterator():
+        it = (
+            stdout_from_features(feats)
+            .orderBy("way_id", "site", "sub")
+            .toLocalIterator()
+        )
+        for row in it:
             print(row["line"])
 
-    print(f"problems rows: {problems_df.count()}")
+    print(f"problems rows: {feats.count()}")
 
 
 if __name__ == "__main__":

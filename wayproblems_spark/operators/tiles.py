@@ -52,17 +52,25 @@ def problem_anchor(problems_df: DataFrame) -> DataFrame:
     ).drop("_a")
 
 
-def tile_counts(problems_df: DataFrame, z: int) -> DataFrame:
-    """(tile_z, tile_x, tile_y, layer, problem_count) — shuffle on the tile
-    key with map-side partial aggregation (hash agg)."""
-    df = problem_anchor(problems_df)
-    x, y = tile_xy(F.col("_lon"), F.col("_lat"), z)
+def tile_counts_anchored(
+    df: DataFrame, z: int, lon_col: str = "_lon", lat_col: str = "_lat"
+) -> DataFrame:
+    """Tile counts over pre-anchored lon/lat columns — used directly on the
+    written problems parquet (anchor_lon/anchor_lat) so tiling never needs
+    the geometry array or a pipeline recompute."""
+    x, y = tile_xy(F.col(lon_col), F.col(lat_col), z)
     return (
         df.withColumn("tile_x", x)
         .withColumn("tile_y", y)
         .groupBy(F.lit(z).alias("tile_z"), "tile_x", "tile_y", "layer")
         .agg(F.count("*").alias("problem_count"))
     )
+
+
+def tile_counts(problems_df: DataFrame, z: int) -> DataFrame:
+    """(tile_z, tile_x, tile_y, layer, problem_count) — shuffle on the tile
+    key with map-side partial aggregation (hash agg)."""
+    return tile_counts_anchored(problem_anchor(problems_df), z)
 
 
 def tile_pyramid(problems_df: DataFrame, z_min: int = 6, z_max: int = 15) -> DataFrame:

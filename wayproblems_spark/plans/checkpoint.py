@@ -66,6 +66,35 @@ class CheckpointLog:
         os.replace(tmp, dst)  # atomic publish
 
 
+def stage_bucketed_input(
+    df: DataFrame, key_col: str, n_buckets: int, staging_dir: str
+) -> str:
+    """Materialize the bucketed input ONCE, parquet-partitioned by bucket.
+
+    One pass over ``df`` total; every later per-bucket read is a pruned
+    directory read (``staging/bucket=b``), not a rescan of the source.
+    Idempotent: an existing staging with a ``_SUCCESS`` marker is reused
+    (bucket assignment is a pure function of the key, so a re-stage after a
+    kill would produce identical partitions anyway — skipping is purely a
+    scan-count optimization for resume).
+    """
+    if not os.path.exists(os.path.join(staging_dir, "_SUCCESS")):
+        (
+            with_bucket(df, key_col, n_buckets)
+            # shuffle on (bucket, subsplit): collapses the input-partition ×
+            # bucket small-file explosion while keeping 8-way write
+            # parallelism inside each bucket (single-task-per-bucket would
+            # serialize skewed buckets)
+            .repartition(
+                F.col("bucket"), F.pmod(F.xxhash64(F.col(key_col)), F.lit(8))
+            )
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(staging_dir)
+        )
+    return staging_dir
+
+
 def run_bucketed(
     df: DataFrame,
     key_col: str,
@@ -74,26 +103,44 @@ def run_bucketed(
     log: CheckpointLog,
     output_dir: str,
     fail_after: int | None = None,
+    staging_dir: str | None = None,
 ) -> list[int]:
     """Process bucket-by-bucket with per-bucket checkpointing; returns the
     buckets processed THIS run. ``fail_after`` simulates a mid-job kill for
     resume tests. Output is parquet partitioned by bucket.
 
+    The input is staged once partitioned by bucket (``stage_bucketed_input``)
+    so the per-bucket loop reads only its own files — an n_buckets-bucket run
+    costs ONE pass over the source plus one pruned read per bucket, not
+    n_buckets full scans.
+
     At cluster scale each "bucket" is a partition-set-sized unit (hundreds
     of Spark tasks); the driver loop is over buckets, not rows.
     """
-    bdf = with_bucket(df, key_col, n_buckets)
+    spark = df.sparkSession
     done = set(log.completed())
+    if len(done) >= n_buckets:
+        return []
+    staged = stage_bucketed_input(
+        df, key_col, n_buckets,
+        staging_dir or output_dir.rstrip("/") + ".staged",
+    )
     processed = []
     for b in range(n_buckets):
         if b in done:
             continue
-        part = bdf.filter(F.col("bucket") == b).drop("bucket")
+        bucket_path = os.path.join(staged, f"bucket={b}")
+        if not os.path.exists(bucket_path):
+            # empty bucket: content_fingerprint of zero rows is hash((0,0,0))
+            log.mark(b, 0, hash((0, 0, 0)))
+            processed.append(b)
+            continue
+        part = spark.read.parquet(bucket_path)
         result = transform(part)
         out_path = os.path.join(output_dir, f"bucket={b}")
         result.write.mode("overwrite").parquet(out_path)
         # count + fingerprint from the written files: one compute pass total
-        written = part.sparkSession.read.parquet(out_path)
+        written = spark.read.parquet(out_path)
         n = written.count()
         fp = content_fingerprint(written)
         log.mark(b, n, fp)

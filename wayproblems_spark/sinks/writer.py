@@ -25,12 +25,26 @@ LAYER_FIELD_ORDER = (
 )
 
 
-def layer_features(problems_df: DataFrame) -> DataFrame:
-    """Render the 9-field feature schema + geometry WKT + layer column."""
+def layer_features(problems_df: DataFrame, with_anchor: bool = False) -> DataFrame:
+    """Render the 9-field feature schema + geometry WKT + layer column.
+
+    ``with_anchor=True`` additionally carries the first-vertex lon/lat
+    (``anchor_lon``/``anchor_lat``) so downstream tiling can run off the
+    written parquet without re-deriving geometry — the bucketed production
+    job uses this to compute tiles from what it already wrote instead of a
+    second full pipeline pass.
+    """
     has_geom = "geom" in problems_df.columns
     geometry = (
         wkt_linestring(F.col("geom")) if has_geom else F.lit(None).cast("string")
     )
+    anchor_cols = []
+    if with_anchor:
+        first = F.element_at("geom", 1) if has_geom else None
+        anchor_cols = [
+            (first["lon"] if has_geom else F.lit(None).cast("double")).alias("anchor_lon"),
+            (first["lat"] if has_geom else F.lit(None).cast("double")).alias("anchor_lat"),
+        ]
     return problems_df.select(
         F.col("way_id").cast("string").alias("id"),
         F.lit(None).cast("string").alias("key"),
@@ -43,6 +57,30 @@ def layer_features(problems_df: DataFrame) -> DataFrame:
         F.col("style"),
         geometry.alias("geometry"),
         F.col("layer"),
+        F.col("site"),
+        F.col("sub"),
+        *anchor_cols,
+    )
+
+
+def stdout_from_features(features_df: DataFrame) -> DataFrame:
+    """Reference-format stdout line (wayproblems.cpp:114-120) rendered from
+    the WRITTEN 9-field feature schema — lets the production job replay the
+    log from its own problems parquet instead of recomputing the pipeline.
+    Byte-identical to ``rules.stdout_log`` (same double space after '||';
+    the feature ``timestamp`` column already carries the formatted value)."""
+    return features_df.select(
+        F.format_string(
+            'way=%s problem="%s" ||  changeset=%s user="%s" timestamp=%s layer=%s version=%s',
+            F.col("id"),
+            F.col("problem"),
+            F.col("changeset"),
+            F.col("user"),
+            F.col("timestamp"),
+            F.col("layer"),
+            F.col("version"),
+        ).alias("line"),
+        F.col("id").cast("long").alias("way_id"),
         F.col("site"),
         F.col("sub"),
     )
