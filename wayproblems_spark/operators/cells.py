@@ -163,22 +163,13 @@ def latlon_to_cell(lat: np.ndarray, lon: np.ndarray, level: int) -> np.ndarray:
     return faceij_to_id(face, i, j, level)
 
 
-def cell_to_center_latlon(cell: np.ndarray):
-    """Center of the cell (for roundtrip tests)."""
-    face, i, j, _ = id_to_faceij(cell)
-    lvl = cell_level(cell)
-    # min-corner leaf coords snapped to cell grid, +half cell
-    step = np.uint64(1) << ((MAX_LEVEL - lvl).astype(np.uint64))
-    i0 = (i // step) * step + step // np.uint64(2)
-    j0 = (j // step) * step + step // np.uint64(2)
-    s = (i0.astype(np.float64) + 0.5) / (1 << MAX_LEVEL)
-    t = (j0.astype(np.float64) + 0.5) / (1 << MAX_LEVEL)
-    u = _st_to_uv(s)
-    v = _st_to_uv(t)
+def face_uv_to_xyz(face: np.ndarray, u: np.ndarray, v: np.ndarray):
+    """Inverse of the per-face uv mapping: unit cube point (NOT normalized).
+    Valid for |u|,|v| > 1 too — out-of-range uv still defines a direction,
+    which is exactly what cross-face neighbor wrapping needs."""
     x = np.empty_like(u)
     y = np.empty_like(u)
     z = np.empty_like(u)
-    # inverse of the per-face uv mapping: unit cube point then normalize
     tbl = {
         0: lambda u, v: (np.ones_like(u), u, v),
         1: lambda u, v: (-u, np.ones_like(u), v),
@@ -194,6 +185,20 @@ def cell_to_center_latlon(cell: np.ndarray):
             x = np.where(m, xf, x)
             y = np.where(m, yf, y)
             z = np.where(m, zf, z)
+    return x, y, z
+
+
+def cell_to_center_latlon(cell: np.ndarray):
+    """Center of the cell (for roundtrip tests)."""
+    face, i, j, _ = id_to_faceij(cell)
+    lvl = cell_level(cell)
+    # min-corner leaf coords snapped to cell grid, +half cell
+    step = np.uint64(1) << ((MAX_LEVEL - lvl).astype(np.uint64))
+    i0 = (i // step) * step + step // np.uint64(2)
+    j0 = (j // step) * step + step // np.uint64(2)
+    s = (i0.astype(np.float64) + 0.5) / (1 << MAX_LEVEL)
+    t = (j0.astype(np.float64) + 0.5) / (1 << MAX_LEVEL)
+    x, y, z = face_uv_to_xyz(face, _st_to_uv(s), _st_to_uv(t))
     n = np.sqrt(x * x + y * y + z * z)
     lat = np.degrees(np.arcsin(z / n))
     lon = np.degrees(np.arctan2(y, x))
@@ -310,6 +315,69 @@ def neighbor_grid_ids(gid, level: int):
                 .bitwiseOR(jj)
             )
     return F.array(*items)
+
+
+def latlon_to_grid_ring(lat: np.ndarray, lon: np.ndarray, level: int) -> np.ndarray:
+    """(n, 9) wrapped 3×3 grid-cell neighborhood — CROSS-FACE CORRECT.
+
+    In-range offsets are plain bit packing. Out-of-range (i, j) wrap the S2
+    way (FromFaceIJWrap's idea): the out-of-range cell center's st maps
+    through the quadratic extension to uv beyond [-1, 1], which still
+    defines a cube direction; unproject → re-encode lands in the true
+    adjacent-face cell (leaf cells align 1:1 across cube edges, so the
+    reflected center hits the right cell). Cube-corner cells (both axes on
+    the face boundary; 24 cells per level, all mid-ocean on Earth) have
+    only 7 true neighbors — consumers must NOT rely on the bound there and
+    escalate them (see knn.is_corner_cell).
+
+    Empirically validated (stress sampling at face edges + corners): every
+    point outside a non-corner cell's wrapped ring is ≥ 1.037 min-edge
+    away, so the one-min-edge acceptance bound is sound everywhere wrapping
+    applies.
+    """
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    x, y, z = _xyz(lat, lon)
+    face, u, v = _face_uv(x, y, z)
+    shift = MAX_LEVEL - level
+    gi = (_st_to_ij(_uv_to_st(u)) >> np.uint64(shift)).astype(np.int64)
+    gj = (_st_to_ij(_uv_to_st(v)) >> np.uint64(shift)).astype(np.int64)
+    n = 1 << level
+    out = np.empty((lat.size, 9), dtype=np.int64)
+    k = 0
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            ii = gi + di
+            jj = gj + dj
+            inr = (ii >= 0) & (ii < n) & (jj >= 0) & (jj < n)
+            packed = (face << 58) | (np.clip(ii, 0, n - 1) << 29) | np.clip(jj, 0, n - 1)
+            if not inr.all():
+                m = ~inr
+                s = (ii[m] + 0.5) / n
+                t = (jj[m] + 0.5) / n
+                wx, wy, wz = face_uv_to_xyz(face[m], _st_to_uv(s), _st_to_uv(t))
+                nr = np.sqrt(wx * wx + wy * wy + wz * wz)
+                la2 = np.degrees(np.arcsin(wz / nr))
+                lo2 = np.degrees(np.arctan2(wy, wx))
+                packed[m] = latlon_to_grid(la2, lo2, level)
+            out[:, k] = packed
+            k += 1
+    return out
+
+
+def ring_grid_udf(level: int):
+    """(lat, lon) → array<long> of the point's 9 wrapped-neighborhood grid
+    cells (cross-face correct; see latlon_to_grid_ring)."""
+    key = ("ring", level)
+    if key not in _udf_cache:
+
+        @pandas_udf("array<long>")
+        def _ring(lat: pd.Series, lon: pd.Series) -> pd.Series:
+            mat = latlon_to_grid_ring(lat.to_numpy(), lon.to_numpy(), level)
+            return pd.Series(mat.tolist())
+
+        _udf_cache[key] = _ring
+    return _udf_cache[key]
 
 
 def covering_cells(lon0, lat0, lon1, lat1, level: int) -> np.ndarray:
