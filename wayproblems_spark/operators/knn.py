@@ -5,13 +5,17 @@ distance to any of the way's vertices, tie-broken by smallest way_id —
 a total order, so results are identical regardless of cluster size or
 partitioning (the north_rule bit-stability clause).
 
-Physical plan (one vertex-side index, no candidate-row explosion):
+Physical plan (one vertex-side index, no candidate-row explosion, Python
+touches each big row exactly ONCE — the grid encode):
 
   index:  each way vertex registers into its own grid cell AND every
-          touching cell (wrapped 3×3 ring, CROSS-FACE CORRECT —
-          cells.latlon_to_grid_ring); one groupBy collapses the vertex side
-          to one row per cell carrying a struct array. Built once; at
-          cluster scale it is reusable across point batches.
+          touching cell (wrapped 3×3 ring, CROSS-FACE CORRECT). Interior
+          vertices (>99.9% at practical levels) expand their ring with
+          pure JVM bit arithmetic over the packed grid id; only the thin
+          face-edge sliver (fraction ≈ 4/2^level) goes through the numpy
+          wrap UDF (cells.latlon_to_grid_ring). One groupBy collapses the
+          vertex side to one row per cell carrying a struct array. Built
+          once; at cluster scale it is reusable across point batches.
   tier 1: each point joins its SINGLE cell against the index — no point
           explosion, join output is one row per point — and the best
           candidate is an inline JVM array_min over the cell's struct
@@ -22,18 +26,18 @@ Physical plan (one vertex-side index, no candidate-row explosion):
           in cube-CORNER cells (ring is only 7 cells there; 24 cells per
           level, all mid-ocean on Earth) are never accepted by the bound —
           they escalate regardless.
-  tier 2: the (rare) escalated points are BROADCAST ring-exploded against
-          a narrow re-keyed vertex scan at `coarse_level` — map-side hash
-          join, no vertex shuffle — then one tiny per-point min.
-  tier 3: the remainder is broadcast against the full vertex scan
+  tier 2: the (rare) escalated points are BROADCAST, ring-expanded at
+          `coarse_level`, against the SAME index re-keyed to coarse cells
+          by JVM bit shifts — map-side hash join, no second vertex pass,
+          no Python on the vertex side — then one tiny per-point min.
+  tier 3: the remainder is broadcast against the vertex set
           (BroadcastNestedLoopJoin) — exact by construction, and bounded:
-          the stream side is one vertex scan, the broadcast side is only
-          points that found nothing within ~8 coarse cells (ocean-grade
-          isolation) or sit on one of the 24 cube-corner cells.
-
-Compared to a ring-join formulation (point × 9 cells × occupancy candidate
-rows through a shuffle+groupBy), this plan shuffles the vertex side once
-(index build), the point side once (cell equi-join), and nothing else.
+          the stream side is one cached vertex scan, the broadcast side is
+          only points that found nothing within ~8 coarse cells
+          (ocean-grade isolation) or sit on a cube-corner cell. Empty
+          escalation sets short-circuit driver-side (cheap counts on the
+          persisted tier-1 frame), so the common all-accepted case runs
+          tier 1 only.
 
 Distances: trig-free squared 3D chord per candidate (strictly monotonic in
 great-circle distance), converted to haversine meters only for each point's
@@ -50,7 +54,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .cells import grid_udf, ring_grid_udf, with_grid
+from .cells import grid_udf, neighbor_grid_ids, ring_grid_udf, with_grid
 
 EARTH_RADIUS_M = 6371008.8
 
@@ -60,6 +64,8 @@ _MIN_EDGE_RAD = 2.0 * math.sqrt(2.0) / 3.0
 # corners measured the true outside-ring minimum at ≥ 1.037 min-edge, so
 # 0.95 keeps a 9% sound margin while barely widening escalation.
 _ACCEPT_FACTOR = 0.95
+
+_GJ_MASK = (1 << 29) - 1
 
 
 def cell_min_edge_m(level: int) -> float:
@@ -102,14 +108,30 @@ def _chord2_to_m(c2):
     return 2.0 * EARTH_RADIUS_M * F.asin(F.sqrt(c2) / 2.0)
 
 
+def _gi(cell):
+    return F.shiftright(cell, 29).bitwiseAND(F.lit(_GJ_MASK))
+
+
+def _gj(cell):
+    return cell.bitwiseAND(F.lit(_GJ_MASK))
+
+
 def is_corner_cell(gid, level: int):
     """Point's grid cell sits on BOTH face-boundary axes (cube corner) —
     its true neighborhood has 7 cells, so the ring bound must not accept."""
     lim = (1 << level) - 1
-    mask = (1 << 29) - 1
-    gi = F.shiftright(gid, 29).bitwiseAND(F.lit(mask))
-    gj = gid.bitwiseAND(F.lit(mask))
-    return (gi.isin(0, lim)) & (gj.isin(0, lim))
+    return (_gi(gid).isin(0, lim)) & (_gj(gid).isin(0, lim))
+
+
+def coarse_cell_expr(cell, level: int, coarse_level: int):
+    """Packed grid id at a coarser level — pure JVM bit shifts."""
+    d = level - coarse_level
+    face = F.shiftright(cell, 58)
+    return (
+        F.shiftleft(face, 58)
+        .bitwiseOR(F.shiftleft(F.shiftright(_gi(cell), d), 29))
+        .bitwiseOR(F.shiftright(_gj(cell), d))
+    )
 
 
 def way_vertices(resolved_ways: DataFrame) -> DataFrame:
@@ -119,19 +141,40 @@ def way_vertices(resolved_ways: DataFrame) -> DataFrame:
     ).select("way_id", F.col("v.lat").alias("vlat"), F.col("v.lon").alias("vlon"))
 
 
-def build_vertex_cell_index(verts_xyz: DataFrame, level: int) -> DataFrame:
+def _near_face_edge(level: int):
+    """Conservative JVM-only test for 'grid cell may touch a face edge',
+    from unit-sphere XYZ: max(|u|,|v|) = mid(|x|,|y|,|z|) / max(...), and
+    edge cells have max(|u|,|v|) ≥ 1 − (8/3)·2^-level (du/ds = 8/3 at the
+    edge). The 4·2^-level margin over-selects slightly — false positives
+    just take the (correct, slower) UDF wrap path."""
+    ax, ay, az = F.abs(F.col("vx")), F.abs(F.col("vy")), F.abs(F.col("vz"))
+    hi = F.greatest(ax, ay, az)
+    lo = F.least(ax, ay, az)
+    mid = ax + ay + az - hi - lo
+    return mid >= hi * (1.0 - 4.0 / (1 << level))
+
+
+def build_vertex_cell_index(verts_g: DataFrame, level: int) -> DataFrame:
     """(cell, vs: array<struct<vx,vy,vz,way_id>>) — each vertex registered
     in every cell whose 3×3 neighborhood contains it (ring symmetry:
-    register the vertex into ITS own ring). One vertex shuffle total;
+    register the vertex into ITS own wrapped ring). Interior vertices ring-
+    expand JVM-side from the precomputed grid id `_g`; only face-edge
+    candidates invoke the numpy wrap UDF. One vertex shuffle total;
     occupancy is bounded by pick_level, so arrays stay ~9×target small.
     Corner-wrap duplicates within a ring are harmless (min-insensitive)."""
-    ring = ring_grid_udf(level)
+    v = F.struct("vx", "vy", "vz", "way_id").alias("v")
+    near = _near_face_edge(level)
+    interior = verts_g.filter(~near).select(
+        v, F.explode(neighbor_grid_ids(F.col("_g"), level)).alias("cell")
+    )
+    edge = verts_g.filter(near).select(
+        v,
+        F.explode(ring_grid_udf(level)(F.col("vlat"), F.col("vlon"))).alias("cell"),
+    )
     return (
-        verts_xyz.withColumn("cell", F.explode(ring(F.col("vlat"), F.col("vlon"))))
+        interior.unionByName(edge)
         .groupBy("cell")
-        .agg(
-            F.collect_list(F.struct("vx", "vy", "vz", "way_id")).alias("vs")
-        )
+        .agg(F.collect_list("v").alias("vs"))
     )
 
 
@@ -139,12 +182,18 @@ def pick_level(verts: DataFrame, probe_level: int = 12, target_occupancy: int = 
     """Density-adaptive cell level: probe occupancy at `probe_level`, then
     adjust so the mean verts-per-cell ≈ target. Keeps index arrays
     ~O(9 · target) instead of growing with density (the 100TB-scale
-    guard)."""
+    guard). The probe raster is a pure-JVM equirect grid with the same
+    cell count as the S2 level (R = √3·2^L rows → 2R² ≈ 6·4^L cells);
+    occupancy only steers a heuristic, so projection distortion is fine —
+    and the probe costs zero Python."""
     from .cells import MAX_LEVEL
 
-    probed = with_grid(verts, "vlat", "vlon", probe_level, out="_g")
+    rows = int(math.sqrt(3.0) * (1 << probe_level))
+    ri = F.floor((F.col("vlat") + 90.0) / 180.0 * rows).cast("long")
+    rj = F.floor((F.col("vlon") + 180.0) / 360.0 * (2 * rows)).cast("long")
+    probed = verts.select((ri * (2 * rows + 1) + rj).alias("_p"))
     row = probed.agg(
-        F.count("*").alias("n"), F.approx_count_distinct("_g").alias("c")
+        F.count("*").alias("n"), F.approx_count_distinct("_p").alias("c")
     ).collect()[0]
     n, c = row["n"], max(row["c"], 1)
     occ = n / c
@@ -158,32 +207,6 @@ def pick_level(verts: DataFrame, probe_level: int = 12, target_occupancy: int = 
     return level
 
 
-def _broadcast_tier(esc: DataFrame, verts_xyz: DataFrame, level: int) -> DataFrame:
-    """Escalation tier: broadcast the (small) escalated point set,
-    ring-exploded at `level`, against a narrow vertex scan keyed at the
-    same level — map-side join, no vertex shuffle. Returns
-    (point_id, corner, best{c2, way_id})."""
-    ring = ring_grid_udf(level)
-    e = esc.select(
-        "point_id", "px", "py", "pz",
-        is_corner_cell(grid_udf(level)(F.col("lat"), F.col("lon")), level).alias("corner"),
-        F.explode(ring(F.col("lat"), F.col("lon"))).alias("cell"),
-    )
-    vc = verts_xyz.withColumn(
-        "cell", grid_udf(level)(F.col("vlat"), F.col("vlon"))
-    )
-    c2 = _chord2(
-        F.col("px"), F.col("py"), F.col("pz"),
-        F.col("vx"), F.col("vy"), F.col("vz"),
-    )
-    return (
-        vc.join(F.broadcast(e), "cell")
-        .select("point_id", "corner", c2.alias("c2"), "way_id")
-        .groupBy("point_id", "corner")
-        .agg(F.min(F.struct("c2", "way_id")).alias("best"))
-    )
-
-
 def knn_nearest_way(
     points: DataFrame,
     resolved_ways: DataFrame,
@@ -193,77 +216,133 @@ def knn_nearest_way(
     """points(point_id, lat, lon) × ways(way_id, geom) → (point_id, way_id,
     dist_m). Exact; deterministic ties on way_id. level=None → density-
     adaptive."""
-    # verts feed the index build + both escalation scans: persist once (at
-    # cluster scale swap for a checkpoint/bucketed materialization)
-    verts = _with_xyz(way_vertices(resolved_ways), "vlat", "vlon", "v").persist()
+    verts = _with_xyz(way_vertices(resolved_ways), "vlat", "vlon", "v")
     if level is None:
         level = pick_level(verts)
     coarse_level = coarse_level if coarse_level is not None else max(level - 3, 2)
 
-    index = build_vertex_cell_index(verts, level)
+    # THE persisted vertex frame: grid id computed once (the only Python
+    # touch per vertex); feeds the index build twice (interior/edge split)
+    # and the brute tail. At cluster scale swap persist for a
+    # checkpoint/bucketed materialization.
+    verts_g = verts.withColumn(
+        "_g", grid_udf(level)(F.col("vlat"), F.col("vlon"))
+    ).persist()
+    index = build_vertex_cell_index(verts_g, level).persist()
 
-    # tier 1: single-cell equi-join, inline array_min — one row per point
+    # tier 1: single-cell equi-join against the index, explode the cell's
+    # struct array AFTER the join (join output stays one row per point;
+    # the explosion feeds straight into a map-side-partial min — all of it
+    # whole-stage codegen; higher-order array functions are interpreted in
+    # Spark and benchmarked 10× slower here), then min(struct(c2, way_id))
+    # grouped by the point's carried columns.
     p = with_grid(
         _with_xyz(points.select("point_id", "lat", "lon"), "lat", "lon", "p"),
         "lat", "lon", level, out="cell",
     )
-    c2_of = lambda v: _chord2(
-        F.col("px"), F.col("py"), F.col("pz"), v["vx"], v["vy"], v["vz"]
+    c2v = _chord2(
+        F.col("px"), F.col("py"), F.col("pz"),
+        F.col("v.vx"), F.col("v.vy"), F.col("v.vz"),
     )
-    best = F.array_min(
-        F.transform(
-            F.col("vs"),
-            lambda v: F.struct(c2_of(v).alias("c2"), v["way_id"].alias("way_id")),
-        )
-    )
-    # slim projection persisted: feeds BOTH the accepted output and the
-    # escalation anti-branch without recomputing the index join
     t1 = (
         p.join(index, "cell", "left")
         .select(
-            "point_id", "lat", "lon", "px", "py", "pz",
-            is_corner_cell(F.col("cell"), level).alias("corner"),
-            best.alias("best"),
+            "point_id", "lat", "lon", "px", "py", "pz", "cell",
+            F.explode_outer("vs").alias("v"),
         )
+        .select(
+            "point_id", "lat", "lon", "px", "py", "pz", "cell",
+            F.struct(c2v.alias("c2"), F.col("v.way_id").alias("way_id")).alias("m"),
+        )
+        .groupBy("point_id", "lat", "lon", "px", "py", "pz", "cell")
+        .agg(F.min("m").alias("best"))
         .persist()
     )
     thr1 = _accept_chord2(level)
+    # coalesce(False): a point with NO candidates has best.c2 null — it
+    # must ESCALATE, not vanish through a three-valued-logic filter pair
     accept1 = (
-        F.col("best").isNotNull() & ~F.col("corner") & (F.col("best.c2") < thr1)
+        F.coalesce(F.col("best.c2") < thr1, F.lit(False))
+        & ~is_corner_cell(F.col("cell"), level)
     )
-    ok1 = t1.filter(accept1).select(
+    out_cols = lambda df: df.select(
         "point_id",
         F.col("best.way_id").alias("way_id"),
         _chord2_to_m(F.col("best.c2")).alias("dist_m"),
     )
+    ok1 = out_cols(t1.filter(accept1))
 
-    # tier 2: broadcast escalated points, coarse ring × narrow vertex scan
-    esc1 = t1.filter(~accept1).select("point_id", "lat", "lon", "px", "py", "pz")
-    t2 = _broadcast_tier(esc1, verts, coarse_level)
-    thr2 = _accept_chord2(coarse_level)
-    ok2 = t2.filter(~F.col("corner") & (F.col("best.c2") < thr2)).select(
-        "point_id",
-        F.col("best.way_id").alias("way_id"),
-        _chord2_to_m(F.col("best.c2")).alias("dist_m"),
+    sel = ("point_id", "way_id", "dist_m")
+    outs = [ok1.select(*sel)]
+    esc_cols = ("point_id", "lat", "lon", "px", "py", "pz", "cell")
+    esc = t1.filter(~accept1).select(*esc_cols)
+
+    # escalation ladder: broadcast the (small) escalated point set,
+    # ring-expanded at a coarser level (UDF wrap only on this small side),
+    # against the CACHED vertex frame re-keyed by JVM bit shifts — no
+    # second vertex-side Python pass. Each rung's acceptance radius grows
+    # 8× (d=3), so populations collapse geometrically; cheap existence
+    # probes on the persisted rungs short-circuit the whole ladder in the
+    # common all-accepted case. Candidate pairs flow through codegen into
+    # a map-side-partial min — no arrays, no interpretation.
+    c2r = _chord2(
+        F.col("px"), F.col("py"), F.col("pz"),
+        F.col("vx"), F.col("vy"), F.col("vz"),
     )
+    coarse = coarse_level
+    while True:
+        if esc.limit(1).count() == 0:
+            return _union_all(outs)
+        e = esc.select(
+            "point_id", "px", "py", "pz",
+            is_corner_cell(
+                coarse_cell_expr(F.col("cell"), level, coarse), coarse
+            ).alias("corner"),
+            F.explode(
+                ring_grid_udf(coarse)(F.col("lat"), F.col("lon"))
+            ).alias("ccell"),
+        )
+        vc = verts_g.withColumn(
+            "ccell", coarse_cell_expr(F.col("_g"), level, coarse)
+        )
+        tk = (
+            vc.join(F.broadcast(e), "ccell")
+            .select(
+                "point_id", "corner",
+                F.struct(c2r.alias("c2"), F.col("way_id").alias("way_id")).alias("m"),
+            )
+            .groupBy("point_id", "corner")
+            .agg(F.min("m").alias("best"))
+            .persist()
+        )
+        thr = _accept_chord2(coarse)
+        ok = tk.filter(~F.col("corner") & (F.col("best.c2") < thr))
+        outs.append(out_cols(ok).select(*sel))
+        esc = esc.join(ok.select("point_id"), "point_id", "left_anti").persist()
+        if coarse <= 4:
+            break
+        coarse = max(coarse - 3, 4)
 
-    # tier 3: exact brute tail — broadcast NL join, ONE vertex scan, only
-    # ocean-isolated or cube-corner points reach here
-    esc2 = esc1.join(ok2.select("point_id"), "point_id", "left_anti")
+    # brute tail: nothing within ~0.95·min_edge(4) ≈ 350 km (open ocean) or
+    # a cube-corner straggler — broadcast NL join over the cached vertices
+    if esc.limit(1).count() == 0:
+        return _union_all(outs)
     c2 = _chord2(
         F.col("px"), F.col("py"), F.col("pz"),
         F.col("vx"), F.col("vy"), F.col("vz"),
     )
     t3 = (
-        verts.crossJoin(F.broadcast(esc2.select("point_id", "px", "py", "pz")))
+        verts_g.crossJoin(F.broadcast(esc.select("point_id", "px", "py", "pz")))
         .select("point_id", c2.alias("c2"), "way_id")
         .groupBy("point_id")
         .agg(F.min(F.struct("c2", "way_id")).alias("best"))
-        .select(
-            "point_id",
-            F.col("best.way_id").alias("way_id"),
-            _chord2_to_m(F.col("best.c2")).alias("dist_m"),
-        )
     )
-    sel = ("point_id", "way_id", "dist_m")
-    return ok1.select(*sel).unionByName(ok2.select(*sel)).unionByName(t3.select(*sel))
+    outs.append(out_cols(t3).select(*sel))
+    return _union_all(outs)
+
+
+def _union_all(frames):
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
