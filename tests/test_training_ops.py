@@ -189,3 +189,43 @@ def test_multimodal_metadata(spark):
     assert {(r["id"], r["frame_idx"]) for r in frames if r["id"] == 1} == {
         (1, 0), (1, 3), (1, 6), (1, 9)
     }
+
+
+def test_minhash_viral_cluster_bounded_with_drop_counter(spark):
+    """A 10k-member identical-text cluster must complete without
+    materializing the whole bucket, cap pairs at max_bucket members, and
+    COUNT the overflow in the dropped frame."""
+    from wayproblems_spark.operators.dedup import minhash_lsh
+
+    viral = spark.range(0, 10000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same viral boilerplate text repeated across the web corpus").alias("text"),
+    )
+    out = minhash_lsh(viral, max_bucket=32, jaccard_threshold=0.5)
+    pairs = out["pairs"].collect()
+    # capped: only the first 32 members pair up → C(32,2) pairs
+    assert len(pairs) == 32 * 31 // 2
+    dropped = out["dropped"].collect()
+    assert dropped, "drop counter must report the capped buckets"
+    # identical docs share every band bucket: each reports 10000-32 dropped
+    for r in dropped:
+        assert r["bucket_n"] == 10000 and r["dropped"] == 10000 - 32
+
+
+def test_simhash_identical_chunk_flood_bounded(spark):
+    """Adversarial corpus where one 16-bit chunk collides for everyone:
+    candidates stay bounded by max_bucket and overflow is counted."""
+    from wayproblems_spark.operators.dedup import simhash_near
+
+    flood = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the exact same boilerplate text on every single page").alias("text"),
+    )
+    out = simhash_near(flood, max_hamming=3, max_bucket=50)
+    # identical simhash → all 4 chunk buckets hold all 3000 docs, capped to
+    # the same (orderBy id) 50 members → C(50,2) deduped pairs
+    assert out["pairs"].count() == 50 * 49 // 2
+    drop_rows = out["dropped"].collect()
+    assert len(drop_rows) == 4
+    for r in drop_rows:
+        assert r["bucket_n"] == 3000 and r["dropped"] == 2950

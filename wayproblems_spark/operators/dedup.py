@@ -58,7 +58,7 @@ def minhash_signature(shingles_col, num_hashes: int = 64):
     )
 
 
-def minhash_lsh_pairs(
+def minhash_lsh(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -67,11 +67,26 @@ def minhash_lsh_pairs(
     bands: int = 16,
     jaccard_threshold: float = 0.5,
     max_bucket: int = 64,
-) -> DataFrame:
-    """Near-duplicate pairs (a, b, jaccard) with a < b.
+) -> dict:
+    """Near-duplicate detection: shingle → minhash → band buckets → exact
+    Jaccard verify. Returns ``{"pairs": DataFrame(a, b, jaccard),
+    "dropped": DataFrame(band, sig, bucket_n, dropped)}``.
 
-    shingle → minhash → band-bucket join → exact Jaccard verify.
+    Scale shape (the round-1 design shuffled full shingle arrays through
+    all bands and collect_list'd whole buckets before capping — an OOM
+    vector on a viral duplicate cluster):
+
+    * band buckets carry DOC IDS ONLY — the shingle arrays never enter the
+      bucket shuffle;
+    * the bucket cap is a sort-based within-bucket row_number (streaming
+      rank — no whole-bucket buffer exists anywhere), deterministic on id;
+    * members beyond ``max_bucket`` are counted in the ``dropped`` frame —
+      no silent cap;
+    * shingles are joined back only for the surviving candidate pairs
+      (pairs ≪ docs, so the verify join is selective).
     """
+    from pyspark.sql.window import Window
+
     rows = num_hashes // bands
     base = df.select(
         F.col(id_col).alias("_id"), word_shingles(F.col(text_col), k).alias("sh")
@@ -85,45 +100,78 @@ def minhash_lsh_pairs(
             F.xxhash64(F.slice("mh", b * rows + 1, rows)).alias("sig"),
         ),
     )
-    buckets = sig.select("_id", "sh", F.explode(band_arr).alias("bb")).select(
-        "_id", "sh", F.col("bb.band").alias("band"), F.col("bb.sig").alias("sig")
+    # ids only through the band shuffle
+    buckets = sig.select("_id", F.explode(band_arr).alias("bb")).select(
+        "_id", F.col("bb.band").alias("band"), F.col("bb.sig").alias("sig")
+    )
+    w = Window.partitionBy("band", "sig").orderBy("_id")
+    ranked = buckets.withColumn("rn", F.row_number().over(w))
+
+    dropped = (
+        ranked.groupBy("band", "sig")
+        .agg(F.count("*").alias("bucket_n"))
+        .withColumn(
+            "dropped", F.greatest(F.col("bucket_n") - max_bucket, F.lit(0))
+        )
+        .filter(F.col("dropped") > 0)
     )
 
-    grouped = buckets.groupBy("band", "sig").agg(
-        F.slice(F.array_sort(F.collect_list(F.struct("_id", "sh"))), 1, max_bucket).alias("members"),
-        F.count("*").alias("bucket_n"),
-    ).filter(F.col("bucket_n") >= 2)
-
+    members = (
+        ranked.filter(F.col("rn") <= max_bucket)
+        .groupBy("band", "sig")
+        .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     # pairs within bucket (i < j), dedup'd across bands via distinct ids
-    pairs = grouped.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("members") - 1),
-                    lambda i: F.transform(
-                        F.sequence(i + 1, F.size("members")),
-                        lambda j: F.struct(
-                            F.element_at("members", i).alias("l"),
-                            F.element_at("members", j).alias("r"),
+    cand = (
+        members.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ids") - 1),
+                        lambda i: F.transform(
+                            F.sequence(i + 1, F.size("ids")),
+                            lambda j: F.struct(
+                                F.element_at("ids", i).alias("a"),
+                                F.element_at("ids", j).alias("b"),
+                            ),
                         ),
-                    ),
+                    )
                 )
-            )
-        ).alias("p")
-    ).select(
-        F.col("p.l._id").alias("a"),
-        F.col("p.r._id").alias("b"),
-        F.col("p.l.sh").alias("sha"),
-        F.col("p.r.sh").alias("shb"),
-    ).dropDuplicates(["a", "b"])
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .dropDuplicates(["a", "b"])
+    )
 
+    j = (
+        cand.join(base.select(F.col("_id").alias("a"), F.col("sh").alias("sha")), "a")
+        .join(base.select(F.col("_id").alias("b"), F.col("sh").alias("shb")), "b")
+    )
     inter = F.size(F.array_intersect("sha", "shb")).cast("double")
     union = F.size(F.array_union("sha", "shb")).cast("double")
-    return (
-        pairs.withColumn("jaccard", inter / union)
+    pairs = (
+        j.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("a", "b", "jaccard")
     )
+    return {"pairs": pairs, "dropped": dropped}
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs (a, b, jaccard) with a < b — see minhash_lsh."""
+    return minhash_lsh(
+        df, id_col, text_col, k, num_hashes, bands, jaccard_threshold, max_bucket
+    )["pairs"]
 
 
 def ngram_jaccard_pairs(
@@ -183,11 +231,29 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     )
 
 
-def simhash_near_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
-) -> DataFrame:
+def simhash_near(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int = 1024,
+) -> dict:
     """Near-dup pairs by simhash hamming distance, banded on 16-bit chunks
-    (any pair within hamming<=3 shares at least one of 4 chunks exactly)."""
+    (any pair within hamming<=3 shares at least one of 4 chunks exactly).
+    Returns ``{"pairs": DataFrame(a, b, hamming), "dropped":
+    DataFrame(chunk, val, bucket_n, dropped)}``.
+
+    Scale guard: a (chunk, val) bucket self-join is quadratic in bucket
+    size — at 10⁹ docs a 16-bit chunk value floods (boilerplate headers
+    hash identically) and one bucket can hold millions of rows. Buckets
+    are capped at ``max_bucket`` members with a deterministic sort-based
+    rank (streaming window, no whole-bucket buffer) and the overflow is
+    COUNTED in the ``dropped`` frame — no silent loss. Expected occupancy:
+    with uniformly distributed simhash bits, a bucket averages
+    n_docs/2^16 per chunk; real corpora skew, which is exactly what the
+    cap + counter make visible."""
+    from pyspark.sql.window import Window
+
     s = simhash(df, id_col, text_col)
     chunks = F.array(
         *[
@@ -203,8 +269,19 @@ def simhash_near_pairs(
     b = s.select(F.col(id_col).alias("_id"), "simhash", F.explode(chunks).alias("c")).select(
         "_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val")
     )
-    l = b.alias("l")
-    r = b.alias("r")
+    w = Window.partitionBy("chunk", "val").orderBy("_id")
+    ranked = b.withColumn("rn", F.row_number().over(w))
+    dropped = (
+        ranked.groupBy("chunk", "val")
+        .agg(F.count("*").alias("bucket_n"))
+        .withColumn(
+            "dropped", F.greatest(F.col("bucket_n") - max_bucket, F.lit(0))
+        )
+        .filter(F.col("dropped") > 0)
+    )
+    capped = ranked.filter(F.col("rn") <= max_bucket).drop("rn")
+    l = capped.alias("l")
+    r = capped.alias("r")
     pairs = (
         l.join(r, ["chunk", "val"])
         .filter(F.col("l._id") < F.col("r._id"))
@@ -216,5 +293,13 @@ def simhash_near_pairs(
             ).alias("hamming"),
         )
         .dropDuplicates(["a", "b"])
+        .filter(F.col("hamming") <= max_hamming)
     )
-    return pairs.filter(F.col("hamming") <= max_hamming)
+    return {"pairs": pairs, "dropped": dropped}
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs (a, b, hamming) — see simhash_near."""
+    return simhash_near(df, id_col, text_col, max_hamming)["pairs"]
