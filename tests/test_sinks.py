@@ -57,6 +57,13 @@ def test_meta(tmp_path):
     assert m["style.steelline.color"] == "#374e66"
     assert m["layer.defaults.columns:0"] == "id"
     assert m["layer.wayproblems.srid"] == "4326"
+    # popup HTML carried for every meta layer (wayproblems-meta.sql:54-114),
+    # byte-identical to wayproblems-meta.popup; `cycling` has no meta
+    # section in the reference
+    for layer in ("wayproblems", "ref", "footway", "strange", "defaults"):
+        assert "openstreetmap.org/way/{{ id }}" in m[f"layer.{layer}.popup"]
+        assert m[f"layer.{layer}.popup"].endswith("{{> remotecontrol wayselect=id }}\n")
+    assert "layer.cycling.popup" not in m and "layer.cycling.srid" not in m
     p = str(tmp_path / "meta.json")
     write_meta(p)
     assert json.load(open(p)) == m

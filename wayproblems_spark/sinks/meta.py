@@ -20,8 +20,24 @@ STYLES = {
 
 LAYERS = ("wayproblems", "ref", "footway", "strange", "cycling", "defaults")
 
+# layers that get presentation meta in the reference
+# (wayproblems-meta.sql:43-114 — note `cycling` has a table but no meta
+# section there; we mirror that by giving it columns but no popup)
+META_LAYERS = ("wayproblems", "ref", "footway", "strange", "defaults")
+
 LAYER_COLUMNS = (
     "id", "key", "value", "changeset", "user", "timestamp", "problem", "style",
+)
+
+# layer.*.popup HTML (wayproblems-meta.sql readfile('wayproblems-meta.popup');
+# the mustache template feeds spatialite-rest's popup rendering)
+POPUP_HTML = (
+    "<h4>Way problems:</h4>\n"
+    'Way <a href="https://www.openstreetmap.org/way/{{ id }}">{{ id }}</a><br>\n'
+    "Last modified {{ timestamp }}<br>\n"
+    "in changeset {{ changeset }} by {{ user }}<br>\n"
+    '<p style="font-size: 1.2em;">{{ problem }}</p>\n'
+    "{{> remotecontrol wayselect=id }}\n"
 )
 
 
@@ -30,12 +46,13 @@ def meta_dict() -> dict[str, str]:
     for style, attrs in STYLES.items():
         for k, v in attrs.items():
             meta[f"style.{style}.{k}"] = v
-    for layer in LAYERS:
+    for layer in META_LAYERS:
         meta[f"layer.{layer}.geometrycolumn"] = "geometry"
         meta[f"layer.{layer}.srid"] = "4326"
         meta[f"layer.{layer}.stylecolumn"] = "style"
         for i, col in enumerate(LAYER_COLUMNS):
             meta[f"layer.{layer}.columns:{i}"] = col
+        meta[f"layer.{layer}.popup"] = POPUP_HTML
     return meta
 
 
