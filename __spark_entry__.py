@@ -291,6 +291,74 @@ ORACLE = {
         SELECT user_id, session_id, COUNT(*) AS n_events
         FROM s GROUP BY user_id, session_id
     """,
+    # G6 tile math — identical IEEE double composition to tiles.tile_xy
+    "q11_tile_counts_sql": """
+        WITH p AS (
+          SELECT -60.0 + (event_id % 120000)/1000.0 AS lat,
+                 -180.0 + ((event_id*7) % 360000)/1000.0 AS lon
+          FROM events)
+        SELECT CAST(GREATEST(0, LEAST(FLOOR((lon + 180.0)/360.0*2048.0), 2047)) AS INT) AS tile_x,
+               CAST(GREATEST(0, LEAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0/COS(RADIANS(lat)))/PI())/2.0*2048.0), 2047)) AS INT) AS tile_y,
+               COUNT(*) AS n
+        FROM p GROUP BY 1, 2
+    """,
+    # G5 kNN — cross-join argmin with the operator's exact chord formula
+    # and (c2, way_id) tie order
+    "q12_knn_bruteforce_sql": """
+        WITH pts AS (
+          SELECT event_id AS point_id,
+                 -55.0 + (event_id % 110000)/1000.0 AS lat,
+                 -180.0 + ((event_id*11) % 360000)/1000.0 AS lon
+          FROM events WHERE event_id % 97 = 0),
+        vs AS (
+          SELECT event_id AS way_id,
+                 -55.0 + (event_id % 110000)/1000.0 AS vlat,
+                 -180.0 + ((event_id*11) % 360000)/1000.0 AS vlon
+          FROM events WHERE event_id % 89 = 0),
+        cand AS (
+          SELECT p.point_id, v.way_id,
+                 (COS(RADIANS(p.lat))*COS(RADIANS(p.lon)) - COS(RADIANS(v.vlat))*COS(RADIANS(v.vlon))) AS dx,
+                 (COS(RADIANS(p.lat))*SIN(RADIANS(p.lon)) - COS(RADIANS(v.vlat))*SIN(RADIANS(v.vlon))) AS dy,
+                 (SIN(RADIANS(p.lat)) - SIN(RADIANS(v.vlat))) AS dz
+          FROM pts p CROSS JOIN vs v),
+        sel AS (
+          SELECT point_id, way_id,
+                 dx*dx + dy*dy + dz*dz AS c2,
+                 ROW_NUMBER() OVER (PARTITION BY point_id
+                                    ORDER BY dx*dx + dy*dy + dz*dz, way_id) AS rn
+          FROM cand)
+        SELECT point_id, way_id,
+               ROUND(2.0*6371008.8*ASIN(SQRT(c2)/2.0), 4) AS dist_r4
+        FROM sel WHERE rn = 1
+    """,
+    # G3 S2 quadratic ST transform on cube face 1 — independent closed-form
+    # SQL implementation of the published projection (power-of-two scaling
+    # makes the floor/shift pipelines bit-equivalent)
+    "q13_s2_grid_sql": """
+        WITH p AS (
+          SELECT event_id,
+                 -30.0 + (event_id % 60000)/1000.0 AS lat,
+                 50.0 + ((event_id*13) % 80000)/1000.0 AS lon
+          FROM events),
+        xyz AS (
+          SELECT event_id,
+                 COS(RADIANS(lat))*COS(RADIANS(lon)) AS x,
+                 COS(RADIANS(lat))*SIN(RADIANS(lon)) AS y,
+                 SIN(RADIANS(lat)) AS z
+          FROM p),
+        uv AS (SELECT event_id, -x/y AS u, z/y AS v FROM xyz),
+        st AS (SELECT event_id,
+                 CASE WHEN u >= 0 THEN 0.5*SQRT(1.0 + 3.0*u) ELSE 1.0 - 0.5*SQRT(1.0 - 3.0*u) END AS s,
+                 CASE WHEN v >= 0 THEN 0.5*SQRT(1.0 + 3.0*v) ELSE 1.0 - 0.5*SQRT(1.0 - 3.0*v) END AS t
+               FROM uv),
+        ij AS (SELECT event_id,
+                 LEAST(CAST(FLOOR(s*4096.0) AS BIGINT), 4095) AS gi,
+                 LEAST(CAST(FLOOR(t*4096.0) AS BIGINT), 4095) AS gj
+               FROM st)
+        SELECT event_id,
+               (CAST(288230376151711744 AS BIGINT) + gi*536870912 + gj) AS cell
+        FROM ij
+    """,
 }
 
 
@@ -397,6 +465,67 @@ def r11_ann_topk(spark, sf_dir):
     return cosine_topk(e, q, k=10)
 
 
+def q11_tile_counts_sql(spark, sf_dir):
+    """G6 tile math oracle-checked: deterministic synthetic lat/lon derived
+    from event_id, slippy tile assignment at z=11 via the production
+    tile_xy expressions, per-tile counts. The DuckDB oracle reimplements
+    the identical IEEE double composition in SQL."""
+    from wayproblems_spark.operators.tiles import tile_xy
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.select(
+        (F.lit(-60.0) + (F.col("event_id") % 120000) / 1000.0).alias("lat"),
+        (F.lit(-180.0) + ((F.col("event_id") * 7) % 360000) / 1000.0).alias("lon"),
+    )
+    x, y = tile_xy(F.col("lon"), F.col("lat"), 11)
+    return (
+        p.withColumn("tile_x", x)
+        .withColumn("tile_y", y)
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q12_knn_bruteforce_sql(spark, sf_dir):
+    """G5 kNN oracle-checked: a small synthetic point/way-vertex split of
+    the events table; the full tiered operator (index join + escalation
+    ladder + brute tail) against a DuckDB cross-join argmin with the same
+    chord-distance formula and (dist, way_id) tie order."""
+    from wayproblems_spark.operators.knn import knn_nearest_way
+
+    ev = _t(spark, sf_dir, "events")
+    lat = (F.lit(-55.0) + (F.col("event_id") % 110000) / 1000.0).alias("lat")
+    lon = (F.lit(-180.0) + ((F.col("event_id") * 11) % 360000) / 1000.0).alias("lon")
+    pts = ev.filter(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("point_id"), lat, lon
+    )
+    ways = ev.filter(F.col("event_id") % 89 == 0).select(
+        F.col("event_id").alias("way_id"),
+        F.array(F.struct(lon.alias("lon"), lat.alias("lat"))).alias("geom"),
+    )
+    out = knn_nearest_way(pts, ways, level=8)
+    return out.select(
+        "point_id", "way_id", F.round("dist_m", 4).alias("dist_r4")
+    )
+
+
+def q13_s2_grid_sql(spark, sf_dir):
+    """G3 S2 ST-transform oracle-checked: points constrained to cube face 1
+    (lon 50..130, |lat|<=30), encoded with the production numpy grid
+    encoder; the DuckDB oracle computes the same face-1 uv → quadratic ST →
+    (gi, gj) packing in closed-form SQL — an INDEPENDENT implementation of
+    the published S2 projection, not a replay."""
+    from wayproblems_spark.operators.cells import with_grid
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.select(
+        F.col("event_id"),
+        (F.lit(-30.0) + (F.col("event_id") % 60000) / 1000.0).alias("lat"),
+        (F.lit(50.0) + ((F.col("event_id") * 13) % 80000) / 1000.0).alias("lon"),
+    )
+    return with_grid(p, "lat", "lon", 12, out="cell").select("event_id", "cell")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full wayproblems pipeline on the deterministic fixture
     corpus (pages → extract → geoparse → resolve → 230-site rule engine)."""
@@ -422,6 +551,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q08_rule_layer_sql": q08_rule_layer_sql,
         "q09_doc_lang_marker_hits": q09_doc_lang_marker_hits,
         "q10_user_event_sessions": q10_user_event_sessions,
+        "q11_tile_counts_sql": q11_tile_counts_sql,
+        "q12_knn_bruteforce_sql": q12_knn_bruteforce_sql,
+        "q13_s2_grid_sql": q13_s2_grid_sql,
         "r01_wayproblems_problems": r01_wayproblems_problems,
         "r02_wayproblems_stdout": r02_wayproblems_stdout,
         "r03_tile_counts": r03_tile_counts,
