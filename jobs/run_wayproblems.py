@@ -42,6 +42,7 @@ def make_zip(repo_root: str) -> str:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", help="pages parquet path")
+    ap.add_argument("--pbf", help="OSM .pbf input (alternative to --pages)")
     ap.add_argument("--out", help="output directory")
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--tile-z", type=int, default=12)
@@ -54,8 +55,8 @@ def main():
     if args.make_zip:
         print(make_zip(repo_root))
         return
-    if not args.pages or not args.out:
-        ap.error("--pages and --out are required")
+    if not (args.pages or args.pbf) or not args.out:
+        ap.error("--pages (or --pbf) and --out are required")
 
     from pyspark.sql import SparkSession
 
@@ -74,7 +75,6 @@ def main():
     )
 
     spark = SparkSession.builder.appName("wayproblems").getOrCreate()
-    pages = spark.read.parquet(args.pages)
 
     log = CheckpointLog(os.path.join(args.out, "checkpoints"))
     if not args.resume and log.completed():
@@ -88,8 +88,20 @@ def main():
     # per-way, so buckets are then fully independent). run_bucketed stages
     # the resolved ways once partitioned by bucket, so the expensive
     # extract+resolve happens exactly ONE time regardless of bucket count.
-    ways = ways_from_pages(pages).drop("src_url")
-    nodes = nodes_from_pages(pages)
+    if args.pbf:
+        # real OSM input (the reference's Geofabrik workflow): convert the
+        # PBF once, then the identical resolve → rules → sinks path
+        from wayproblems_spark.sources.osm_pbf import pbf_to_parquet
+
+        conv = os.path.join(args.out, "pbf_tables")
+        if not os.path.exists(os.path.join(conv, "ways", "_SUCCESS")):
+            pbf_to_parquet(spark, args.pbf, conv)
+        ways = spark.read.parquet(os.path.join(conv, "ways"))
+        nodes = spark.read.parquet(os.path.join(conv, "nodes"))
+    else:
+        pages = spark.read.parquet(args.pages)
+        ways = ways_from_pages(pages).drop("src_url")
+        nodes = nodes_from_pages(pages)
     resolved = drop_invalid_geometry(
         resolve_locations(ways, nodes, broadcast_nodes=False)
     )
