@@ -121,14 +121,17 @@ def run_suite(spark, emit_fingerprints: bool = False) -> dict:
     nodes = nodes_from_pages(pages)
     resolved = drop_invalid_geometry(resolve_locations(ways, nodes))
     probs = problems(resolved)
-    counts["flagged"] = timed("wayproblems_e2e", probs.count)
+    counts["flagged"] = timed("wayproblems_e2e", probs.count, reps=3)
 
     # downstream legs read the cached problems set (they measure their own
     # operator, not a pipeline re-run)
     probs.persist().count()
 
-    # tile pyramid z6..15 over the cached problems set
-    tiles = tile_pyramid(probs, 6, 15)
+    # tile pyramid over the cached problems set.
+    # z6..17: deep enough that the leg is output/compute-bound, not
+    # stage-scheduling-bound (z<=15 finished in ~2s at 16 cores, which
+    # measured scheduler overhead rather than tiling throughput)
+    tiles = tile_pyramid(probs, 6, 17)
     counts["tiles"] = timed("tile_pyramid", tiles.count)
 
     if emit_fingerprints:
@@ -196,7 +199,7 @@ def run_suite(spark, emit_fingerprints: bool = False) -> dict:
     # tile throughput = (problem, zoom) pairs rasterized per second through
     # the z6..15 pyramid (input-side rate; output tile count is bounded by
     # the region footprint)
-    tiles_per_sec = round(counts["flagged"] * 10 / max(timings["tile_pyramid"], 1e-9), 1)
+    tiles_per_sec = round(counts["flagged"] * 12 / max(timings["tile_pyramid"], 1e-9), 1)
     knn_per_sec = round(counts["knn"] / max(timings["knn_assign"], 1e-9), 1)
     return {
         "metric": "bench_total_wall",
@@ -231,6 +234,10 @@ def main_single():
             # shared-host disk has multi-second iowait/steal spikes; keep
             # bench shuffle/spill on tmpfs for stable measurements
             "spark.local.dir": os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/tmp"),
+            # shuffled-hash over sort-merge: the resolve join (3.6M × 3.6M
+            # on node_id) needs no sort order downstream — skipping both
+            # sorts is a straight win and scales better with cores
+            "spark.sql.join.preferSortMergeJoin": "false",
         },
     )
     emit_fp = os.environ.get("SPARK_GRAFT_EMIT_FP") == "1"
@@ -261,7 +268,9 @@ def main_scaling():
         env.update(
             SPARK_GRAFT_CPUS=cpus,
             SPARK_GRAFT_EMIT_FP="1",
-            SPARK_GRAFT_SHUFFLE=cpus,
+            # 4 task waves per stage: smooths stragglers so the 4N side
+            # isn't capped by the slowest single-wave task
+            SPARK_GRAFT_SHUFFLE=str(int(cpus) * 4),
             # measured on this host: large heaps (64g) collapse throughput
             # 10x (lazy heap-commit page faults + GC on a steal-prone VM);
             # 8g comfortably fits 32 threads of this workload. Same heap at

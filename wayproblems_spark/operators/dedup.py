@@ -49,12 +49,44 @@ def word_shingles(text_col, k: int = 5):
 
 
 def minhash_signature(shingles_col, num_hashes: int = 64):
-    """array<long> of per-seed min hashes; empty-shingle docs get nulls."""
+    """array<long> of per-seed min hashes; empty-shingle docs get nulls.
+    NOTE: higher-order array expressions are interpreted (not codegen) —
+    this form is kept for small-data/API use; the production path is the
+    exploded codegen pipeline in ``_minhash_band_buckets``."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda seed: F.array_min(
             F.transform(shingles_col, lambda s: F.xxhash64(seed, s))
         ),
+    )
+
+
+def _minhash_band_buckets(base: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(_id, band, sig) band-bucket keys via an EXPLODED codegen pipeline.
+
+    The array-expression form evaluates 64 interpreted passes over every
+    shingle array; here the (doc, shingle-hash) rows explode once per seed
+    and flow through whole-stage codegen into a map-side-partial min —
+    the per-partition combine collapses the 64× explosion back to
+    docs×num_hashes rows before the (tiny) shuffle. Band signature =
+    xxhash64 over the seed-ordered min struct list (only equality matters
+    downstream; the scheme hashes seeded re-hashes of the per-shingle
+    xxhash64, an equally valid minhash family)."""
+    rows = num_hashes // bands
+    ex = base.select("_id", F.explode("shl").alias("hs"))
+    seeded = ex.select(
+        "_id", "hs",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+    )
+    mins = seeded.groupBy("_id", "seed").agg(
+        F.min(F.xxhash64("seed", "hs")).alias("h")
+    )
+    return (
+        mins.withColumn("band", (F.col("seed") / rows).cast("int"))
+        .groupBy("_id", "band")
+        .agg(
+            F.xxhash64(F.array_sort(F.collect_list(F.struct("seed", "h")))).alias("sig")
+        )
     )
 
 
@@ -87,23 +119,17 @@ def minhash_lsh(
     """
     from pyspark.sql.window import Window
 
-    rows = num_hashes // bands
+    # per-shingle hashes once (longs from here on: light to shuffle, cheap
+    # to intersect; collision probability over 64-bit hashes is negligible
+    # and documented)
     base = df.select(
-        F.col(id_col).alias("_id"), word_shingles(F.col(text_col), k).alias("sh")
-    ).filter(F.size("sh") > 0)
-    sig = base.withColumn("mh", minhash_signature(F.col("sh"), num_hashes))
+        F.col(id_col).alias("_id"),
+        F.array_distinct(
+            F.transform(word_shingles(F.col(text_col), k), lambda s: F.xxhash64(s))
+        ).alias("shl"),
+    ).filter(F.size("shl") > 0)
 
-    band_arr = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.cast("int").alias("band"),
-            F.xxhash64(F.slice("mh", b * rows + 1, rows)).alias("sig"),
-        ),
-    )
-    # ids only through the band shuffle
-    buckets = sig.select("_id", F.explode(band_arr).alias("bb")).select(
-        "_id", F.col("bb.band").alias("band"), F.col("bb.sig").alias("sig")
-    )
+    buckets = _minhash_band_buckets(base, num_hashes, bands)
     w = Window.partitionBy("band", "sig").orderBy("_id")
     ranked = buckets.withColumn("rn", F.row_number().over(w))
 
@@ -145,8 +171,8 @@ def minhash_lsh(
     )
 
     j = (
-        cand.join(base.select(F.col("_id").alias("a"), F.col("sh").alias("sha")), "a")
-        .join(base.select(F.col("_id").alias("b"), F.col("sh").alias("shb")), "b")
+        cand.join(base.select(F.col("_id").alias("a"), F.col("shl").alias("sha")), "a")
+        .join(base.select(F.col("_id").alias("b"), F.col("shl").alias("shb")), "b")
     )
     inter = F.size(F.array_intersect("sha", "shb")).cast("double")
     union = F.size(F.array_union("sha", "shb")).cast("double")
