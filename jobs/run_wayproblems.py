@@ -48,6 +48,10 @@ def main():
     ap.add_argument("--tile-z", type=int, default=12)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--log-stdout", action="store_true")
+    ap.add_argument(
+        "--sqlite", action="store_true",
+        help="also export the reference-shaped 6-layer SQLite deliverable",
+    )
     ap.add_argument("--make-zip", action="store_true")
     args = ap.parse_args()
 
@@ -120,6 +124,11 @@ def main():
         feats, args.tile_z, "anchor_lon", "anchor_lat"
     ).write.mode("overwrite").parquet(os.path.join(args.out, "tiles"))
     write_meta(os.path.join(args.out, "meta.json"))
+
+    if args.sqlite:
+        from wayproblems_spark.sinks.sqlite_export import export_sqlite
+
+        export_sqlite(feats, os.path.join(args.out, "wayproblems.sqlite"))
 
     if args.log_stdout:
         it = (

@@ -67,3 +67,41 @@ def test_meta(tmp_path):
     p = str(tmp_path / "meta.json")
     write_meta(p)
     assert json.load(open(p)) == m
+
+
+def test_sqlite_export(spark, tmp_path):
+    import sqlite3
+
+    from wayproblems_spark.pipeline import corpus_frames
+    from wayproblems_spark.operators.resolve import (
+        drop_invalid_geometry,
+        resolve_locations,
+    )
+    from wayproblems_spark.rules import problems
+    from wayproblems_spark.sinks.sqlite_export import export_sqlite
+    from wayproblems_spark.sinks.writer import layer_features
+
+    _, ways, nodes, _ = corpus_frames(spark, 150, 5, "unit")
+    feats = layer_features(
+        problems(drop_invalid_geometry(resolve_locations(ways, nodes)))
+    )
+    db = str(tmp_path / "out.sqlite")
+    counts = export_sqlite(feats, db)
+    assert sum(counts.values()) == feats.count() and sum(counts.values()) > 0
+
+    con = sqlite3.connect(db)
+    tables = {r[0] for r in con.execute(
+        "SELECT name FROM sqlite_master WHERE type='table'")}
+    assert tables >= {"wayproblems", "ref", "footway", "strange", "cycling",
+                      "defaults", "meta"}
+    # per-layer rows match the frame, geometry is WKT, 9-field schema
+    for layer, n in counts.items():
+        assert con.execute(f'SELECT COUNT(*) FROM "{layer}"').fetchone()[0] == n
+        if n:
+            row = con.execute(
+                f'SELECT problem, geometry_wkt FROM "{layer}" LIMIT 1').fetchone()
+            assert row[1].startswith("LINESTRING (")
+    meta = dict(con.execute("SELECT key, value FROM meta"))
+    assert meta["layer.wayproblems.popup"].startswith("<h4>Way problems:</h4>")
+    assert "GeomFromText" in meta["export.geometry.load"]
+    con.close()
