@@ -465,6 +465,21 @@ def r11_ann_topk(spark, sf_dir):
     return cosine_topk(e, q, k=10)
 
 
+def r12_ann_lsh_topk(spark, sf_dir):
+    """ANN scale path (hyperplane LSH buckets + exact re-rank) exercised as
+    a driver query; the exact cosine path is r11/q07."""
+    from wayproblems_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()["embedding"])
+    q = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    # fewer planes / more tables than the defaults: the sf0.01 corpus is
+    # only a few hundred vectors, so buckets must stay coarse for recall
+    return lsh_topk(e, q, dim=dim, k=10, n_planes=6, n_tables=8)
+
+
 def q11_tile_counts_sql(spark, sf_dir):
     """G6 tile math oracle-checked: deterministic synthetic lat/lon derived
     from event_id, slippy tile assignment at z=11 via the production
@@ -565,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r09_multimodal_meta": r09_multimodal_meta,
         "r10_doc_quality": r10_doc_quality,
         "r11_ann_topk": r11_ann_topk,
+        "r12_ann_lsh_topk": r12_ann_lsh_topk,
     }
 
 
