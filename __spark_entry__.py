@@ -331,6 +331,60 @@ ORACLE = {
                ROUND(2.0*6371008.8*ASIN(SQRT(c2)/2.0), 4) AS dist_r4
         FROM sel WHERE rn = 1
     """,
+    # G5b segment kNN — cross-join argmin over the identical point-to-arc
+    # chord composition (cross/dot products expanded in the same op order)
+    "q14_knn_segments_sql": """
+        WITH pts AS (
+          SELECT event_id AS point_id,
+                 -50.0 + (event_id % 100000)/1000.0 AS lat,
+                 -180.0 + ((event_id*17) % 360000)/1000.0 AS lon
+          FROM events WHERE event_id % 101 = 0),
+        ws AS (
+          SELECT event_id AS way_id,
+                 -50.0 + (event_id % 100000)/1000.0 AS alat,
+                 -180.0 + ((event_id*17) % 360000)/1000.0 AS alon,
+                 -50.0 + (event_id % 100000)/1000.0 + 0.4 AS blat,
+                 -180.0 + ((event_id*17) % 360000)/1000.0 + 0.7 AS blon
+          FROM events WHERE event_id % 83 = 0),
+        xyz AS (
+          SELECT p.point_id, w.way_id,
+                 COS(RADIANS(p.lat))*COS(RADIANS(p.lon)) AS px,
+                 COS(RADIANS(p.lat))*SIN(RADIANS(p.lon)) AS py,
+                 SIN(RADIANS(p.lat)) AS pz,
+                 COS(RADIANS(w.alat))*COS(RADIANS(w.alon)) AS ax,
+                 COS(RADIANS(w.alat))*SIN(RADIANS(w.alon)) AS ay,
+                 SIN(RADIANS(w.alat)) AS az,
+                 COS(RADIANS(w.blat))*COS(RADIANS(w.blon)) AS bx,
+                 COS(RADIANS(w.blat))*SIN(RADIANS(w.blon)) AS by,
+                 SIN(RADIANS(w.blat)) AS bz
+          FROM pts p CROSS JOIN ws w),
+        c AS (
+          SELECT point_id, way_id, px, py, pz, ax, ay, az, bx, by, bz,
+                 ay*bz - az*by AS nx, az*bx - ax*bz AS ny, ax*by - ay*bx AS nz
+          FROM xyz),
+        d AS (
+          SELECT point_id, way_id,
+                 nx*nx + ny*ny + nz*nz AS nn2,
+                 (ay*pz - az*py)*nx + (az*px - ax*pz)*ny + (ax*py - ay*px)*nz AS apn,
+                 (py*bz - pz*by)*nx + (pz*bx - px*bz)*ny + (px*by - py*bx)*nz AS pbn,
+                 (px*nx + py*ny + pz*nz) AS pn,
+                 LEAST((px-ax)*(px-ax) + (py-ay)*(py-ay) + (pz-az)*(pz-az),
+                       (px-bx)*(px-bx) + (py-by)*(py-by) + (pz-bz)*(pz-bz)) AS end_c2
+          FROM c),
+        e AS (
+          SELECT point_id, way_id,
+                 CASE WHEN nn2 > 1e-24 AND apn >= 0 AND pbn >= 0
+                      THEN LEAST(2.0 - 2.0*SQRT(GREATEST(0.0, 1.0 - (pn/SQRT(nn2))*(pn/SQRT(nn2)))), end_c2)
+                      ELSE end_c2 END AS c2
+          FROM d),
+        sel AS (
+          SELECT point_id, way_id, c2,
+                 ROW_NUMBER() OVER (PARTITION BY point_id ORDER BY c2, way_id) AS rn
+          FROM e)
+        SELECT point_id, way_id,
+               ROUND(2.0*6371008.8*ASIN(SQRT(c2)/2.0), 4) AS dist_r4
+        FROM sel WHERE rn = 1
+    """,
     # G3 S2 quadratic ST transform on cube face 1 — independent closed-form
     # SQL implementation of the published projection (power-of-two scaling
     # makes the floor/shift pipelines bit-equivalent)
@@ -524,6 +578,36 @@ def q12_knn_bruteforce_sql(spark, sf_dir):
     )
 
 
+def q14_knn_segments_sql(spark, sf_dir):
+    """G5b segment-distance kNN oracle-checked: synthetic 2-vertex ways from
+    the events table; the tiered operator vs a DuckDB cross-join argmin
+    replicating the identical point-to-arc chord formula (hand-expanded
+    cross products, same op order)."""
+    from wayproblems_spark.operators.knn import knn_nearest_way_segments
+
+    ev = _t(spark, sf_dir, "events")
+    plat = (F.lit(-50.0) + (F.col("event_id") % 100000) / 1000.0).alias("lat")
+    plon = (F.lit(-180.0) + ((F.col("event_id") * 17) % 360000) / 1000.0).alias("lon")
+    pts = ev.filter(F.col("event_id") % 101 == 0).select(
+        F.col("event_id").alias("point_id"), plat, plon
+    )
+    alat = F.lit(-50.0) + (F.col("event_id") % 100000) / 1000.0
+    alon = F.lit(-180.0) + ((F.col("event_id") * 17) % 360000) / 1000.0
+    blat = alat + 0.4
+    blon = alon + 0.7
+    ways = ev.filter(F.col("event_id") % 83 == 0).select(
+        F.col("event_id").alias("way_id"),
+        F.array(
+            F.struct(alon.alias("lon"), alat.alias("lat")),
+            F.struct(blon.alias("lon"), blat.alias("lat")),
+        ).alias("geom"),
+    )
+    out = knn_nearest_way_segments(pts, ways, level=8)
+    return out.select(
+        "point_id", "way_id", F.round("dist_m", 4).alias("dist_r4")
+    )
+
+
 def q13_s2_grid_sql(spark, sf_dir):
     """G3 S2 ST-transform oracle-checked: points constrained to cube face 1
     (lon 50..130, |lat|<=30), encoded with the production numpy grid
@@ -569,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_tile_counts_sql": q11_tile_counts_sql,
         "q12_knn_bruteforce_sql": q12_knn_bruteforce_sql,
         "q13_s2_grid_sql": q13_s2_grid_sql,
+        "q14_knn_segments_sql": q14_knn_segments_sql,
         "r01_wayproblems_problems": r01_wayproblems_problems,
         "r02_wayproblems_stdout": r02_wayproblems_stdout,
         "r03_tile_counts": r03_tile_counts,

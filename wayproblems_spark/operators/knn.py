@@ -346,3 +346,231 @@ def _union_all(frames):
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+# ---------------------------------------------------------------------------
+# G5b — segment-distance kNN: nearest point on any way SEGMENT (great-circle
+# arc), not just the nearest vertex. Same tiered architecture; the index
+# registers each segment at ≤½-min-edge spaced sample points along its
+# chord, so a long segment crossing a cell far from both endpoints is still
+# a candidate there (the failure mode a vertex-only registration has).
+#
+# Soundness of the acceptance bound: the arc is sampled at chord spacing
+# piece ≤ 0.5·min_edge(level); any arc point lies ≤ piece/2 from a sample.
+# If every sample of a segment is outside p's wrapped ring, then (validated
+# ring property, ≥1.037·min_edge) its nearest arc point is ≥ 1.037·min_edge
+# − piece/2 ≥ 0.78·min_edge away — so accepting only when
+# best < 0.7·min_edge(level) is exact. Escalation rungs reuse the fine
+# samples at coarse cells: piece is ≪ min_edge(coarse), bound factor 0.85.
+# ---------------------------------------------------------------------------
+
+_SEG_ACCEPT_FACTOR = 0.7
+_RUNG_SEG_FACTOR = 0.85
+
+
+def _seg_chord2(thr_rad_factor: float, level: int) -> float:
+    theta = thr_rad_factor * _MIN_EDGE_RAD / (1 << level)
+    return (2.0 * math.sin(theta / 2.0)) ** 2
+
+
+def way_segments(resolved_ways: DataFrame) -> DataFrame:
+    """(way_id, ax..az, bx..bz) unit-sphere segment endpoints."""
+    pairs = F.arrays_zip(
+        F.slice("geom", 1, F.size("geom") - 1).alias("a"),
+        F.slice("geom", 2, F.size("geom") - 1).alias("b"),
+    )
+    segs = resolved_ways.select(
+        "way_id", F.explode(pairs).alias("s")
+    ).select(
+        "way_id",
+        F.col("s.a.lat").alias("alat"), F.col("s.a.lon").alias("alon"),
+        F.col("s.b.lat").alias("blat"), F.col("s.b.lon").alias("blon"),
+    )
+    segs = _with_xyz(segs, "alat", "alon", "a")
+    return _with_xyz(segs, "blat", "blon", "b")
+
+
+def _point_seg_chord2(px, py, pz):
+    """Squared-chord distance from P to the great-circle arc A→B, as pure
+    column math (hand-expanded cross/dot products; zero-length segments
+    fall back to the endpoint distance)."""
+    ax, ay, az = F.col("ax"), F.col("ay"), F.col("az")
+    bx, by, bz = F.col("bx"), F.col("by"), F.col("bz")
+    nx = ay * bz - az * by
+    ny = az * bx - ax * bz
+    nz = ax * by - ay * bx
+    nn2 = nx * nx + ny * ny + nz * nz
+    # foot-of-perpendicular inside the arc ⇔ (A×P)·n ≥ 0 ∧ (P×B)·n ≥ 0
+    apx = ay * pz - az * py
+    apy = az * px - ax * pz
+    apz = ax * py - ay * px
+    pbx = py * bz - pz * by
+    pby = pz * bx - px * bz
+    pbz = px * by - py * bx
+    within = (
+        (apx * nx + apy * ny + apz * nz >= 0)
+        & (pbx * nx + pby * ny + pbz * nz >= 0)
+    )
+    s = (px * nx + py * ny + pz * nz) / F.sqrt(nn2)
+    gc_c2 = 2.0 - 2.0 * F.sqrt(F.greatest(F.lit(0.0), 1.0 - s * s))
+    end_c2 = F.least(
+        _chord2(px, py, pz, ax, ay, az), _chord2(px, py, pz, bx, by, bz)
+    )
+    return F.when(
+        (nn2 > 1e-24) & within, F.least(gc_c2, end_c2)
+    ).otherwise(end_c2)
+
+
+def build_segment_cell_index(segs: DataFrame, level: int) -> DataFrame:
+    """(cell, vs: array<struct<ax..bz, way_id>>) — each segment registered
+    at every wrapped-ring cell of ≤½-min-edge spaced samples along its
+    chord. Sample positions are JVM arithmetic (lerp on the chord,
+    renormalized, xyz→lat/lon); only the ring encode is the UDF."""
+    piece = 0.5 * _MIN_EDGE_RAD / (1 << level)  # target chord spacing (rad)
+    chord = F.sqrt(
+        _chord2(F.col("ax"), F.col("ay"), F.col("az"),
+                F.col("bx"), F.col("by"), F.col("bz"))
+    )
+    n_pieces = F.greatest(
+        F.lit(1), F.ceil(chord / F.lit(piece)).cast("int")
+    )
+    k = F.explode(F.sequence(F.lit(0), n_pieces)).alias("k")
+    t = F.col("k").cast("double") / F.col("np").cast("double")
+    qx = F.col("ax") + t * (F.col("bx") - F.col("ax"))
+    qy = F.col("ay") + t * (F.col("by") - F.col("ay"))
+    qz = F.col("az") + t * (F.col("bz") - F.col("az"))
+    qn = F.sqrt(qx * qx + qy * qy + qz * qz)
+    qlat = F.degrees(F.asin(qz / qn))
+    qlon = F.degrees(F.atan2(qy, qx))
+    seg_struct = F.struct("ax", "ay", "az", "bx", "by", "bz", "way_id").alias("v")
+    samples = (
+        segs.withColumn("np", n_pieces)
+        .select(seg_struct, "ax", "ay", "az", "bx", "by", "bz", "np", k)
+        .select("v", qlat.alias("qlat"), qlon.alias("qlon"))
+    )
+    ring = ring_grid_udf(level)
+    return (
+        samples.withColumn("cell", F.explode(ring(F.col("qlat"), F.col("qlon"))))
+        # a segment can register the same cell through several samples —
+        # dedup before the aggregation so index arrays stay tight
+        .dropDuplicates(["cell", "v"])
+        .groupBy("cell")
+        .agg(F.collect_list("v").alias("vs"))
+    )
+
+
+def knn_nearest_way_segments(
+    points: DataFrame,
+    resolved_ways: DataFrame,
+    level: int | None = 12,
+    coarse_level: int | None = None,
+) -> DataFrame:
+    """points × ways → (point_id, way_id, dist_m) where dist is to the
+    nearest point ON the way's polyline (great-circle segments), exact,
+    ties on way_id. Same tier/ladder shape as the vertex variant."""
+    segs = way_segments(resolved_ways).persist()
+    if level is None:
+        verts = way_vertices(resolved_ways)
+        level = pick_level(_with_xyz(verts, "vlat", "vlon", "v"))
+    coarse_level = coarse_level if coarse_level is not None else max(level - 3, 2)
+
+    index = build_segment_cell_index(segs, level).persist()
+
+    p = with_grid(
+        _with_xyz(points.select("point_id", "lat", "lon"), "lat", "lon", "p"),
+        "lat", "lon", level, out="cell",
+    )
+    seg_cols = ("ax", "ay", "az", "bx", "by", "bz")
+    px, py, pz = F.col("px"), F.col("py"), F.col("pz")
+
+    def best_from(joined):
+        ex = joined.select(
+            "point_id", "lat", "lon", "px", "py", "pz", "cell",
+            F.explode_outer("vs").alias("v"),
+        ).select(
+            "point_id", "lat", "lon", "px", "py", "pz", "cell",
+            *[F.col(f"v.{c}").alias(c) for c in seg_cols],
+            F.col("v.way_id").alias("way_id"),
+        )
+        m = F.struct(
+            _point_seg_chord2(px, py, pz).alias("c2"),
+            F.col("way_id").alias("way_id"),
+        )
+        return (
+            ex.select("point_id", "lat", "lon", "px", "py", "pz", "cell", m.alias("m"))
+            .groupBy("point_id", "lat", "lon", "px", "py", "pz", "cell")
+            .agg(F.min("m").alias("best"))
+        )
+
+    t1 = best_from(p.join(index, "cell", "left")).persist()
+    thr1 = _seg_chord2(_SEG_ACCEPT_FACTOR, level)
+    accept1 = (
+        F.coalesce(F.col("best.c2") < thr1, F.lit(False))
+        & ~is_corner_cell(F.col("cell"), level)
+    )
+    out_cols = lambda df: df.select(
+        "point_id",
+        F.col("best.way_id").alias("way_id"),
+        _chord2_to_m(F.col("best.c2")).alias("dist_m"),
+    )
+    sel = ("point_id", "way_id", "dist_m")
+    outs = [out_cols(t1.filter(accept1)).select(*sel)]
+    esc = t1.filter(~accept1).select(
+        "point_id", "lat", "lon", "px", "py", "pz", "cell"
+    )
+
+    coarse = coarse_level
+    while True:
+        if esc.limit(1).count() == 0:
+            return _union_all(outs)
+        e = esc.select(
+            "point_id", "px", "py", "pz",
+            is_corner_cell(
+                coarse_cell_expr(F.col("cell"), level, coarse), coarse
+            ).alias("corner"),
+            F.explode(
+                ring_grid_udf(coarse)(F.col("lat"), F.col("lon"))
+            ).alias("ccell"),
+        )
+        idx_c = index.withColumn(
+            "ccell", coarse_cell_expr(F.col("cell"), level, coarse)
+        )
+        ex = idx_c.join(F.broadcast(e), "ccell").select(
+            "point_id", "corner", "px", "py", "pz", F.explode("vs").alias("v")
+        ).select(
+            "point_id", "corner", "px", "py", "pz",
+            *[F.col(f"v.{c}").alias(c) for c in seg_cols],
+            F.col("v.way_id").alias("way_id"),
+        )
+        m = F.struct(
+            _point_seg_chord2(px, py, pz).alias("c2"),
+            F.col("way_id").alias("way_id"),
+        )
+        tk = (
+            ex.select("point_id", "corner", m.alias("m"))
+            .groupBy("point_id", "corner")
+            .agg(F.min("m").alias("best"))
+            .persist()
+        )
+        thr = _seg_chord2(_RUNG_SEG_FACTOR, coarse)
+        ok = tk.filter(~F.col("corner") & (F.col("best.c2") < thr))
+        outs.append(out_cols(ok).select(*sel))
+        esc = esc.join(ok.select("point_id"), "point_id", "left_anti").persist()
+        if coarse <= 4:
+            break
+        coarse = max(coarse - 3, 4)
+
+    if esc.limit(1).count() == 0:
+        return _union_all(outs)
+    m = F.struct(
+        _point_seg_chord2(px, py, pz).alias("c2"),
+        F.col("way_id").alias("way_id"),
+    )
+    t3 = (
+        segs.crossJoin(F.broadcast(esc.select("point_id", "px", "py", "pz")))
+        .select("point_id", m.alias("m"))
+        .groupBy("point_id")
+        .agg(F.min("m").alias("best"))
+    )
+    outs.append(out_cols(t3).select(*sel))
+    return _union_all(outs)
