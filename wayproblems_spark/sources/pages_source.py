@@ -25,7 +25,7 @@ _ARTICLE_RE = r'<article id="main">(.*?)</article>'
 
 
 def _extract_batch(html: pd.Series) -> pd.Series:
-    s = html.map(lambda b: b.decode("utf-8"))  # bytes→str; vectorized ops after
+    s = html.str.decode("utf-8")  # vectorized bytes→str
     body = s.str.extract(_ARTICLE_RE, flags=re.DOTALL, expand=False)
     # inverse of fixtures.pages._escape — order matters (&amp; last).
     body = body.str.replace("&lt;", "<", regex=False)
