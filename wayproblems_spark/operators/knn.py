@@ -17,27 +17,30 @@ touches each big row exactly ONCE — the grid encode):
           vertex side to one row per cell carrying a struct array. Built
           once; at cluster scale it is reusable across point batches.
   tier 1: each point joins its SINGLE cell against the index — no point
-          explosion, join output is one row per point — and the best
-          candidate is an inline JVM array_min over the cell's struct
-          array. Zero post-join aggregation, zero extra shuffle.
+          explosion, join output is one row per point — then the cell's
+          struct array explodes straight into a map-side-partial
+          min(struct(c2, way_id)) grouped by the point's carried columns
+          (all whole-stage codegen; interpreted higher-order array
+          expressions measured ~10× slower here).
           Acceptance: best chord-dist < 0.95 × S2 min-edge(level) proves
           no vertex outside the ring can be closer (empirically the
           outside-ring minimum is ≥ 1.037 min-edge; see cells.py). Points
           in cube-CORNER cells (ring is only 7 cells there; 24 cells per
           level, all mid-ocean on Earth) are never accepted by the bound —
           they escalate regardless.
-  tier 2: the (rare) escalated points are BROADCAST, ring-expanded at
-          `coarse_level`, against the SAME index re-keyed to coarse cells
-          by JVM bit shifts — map-side hash join, no second vertex pass,
-          no Python on the vertex side — then one tiny per-point min.
-  tier 3: the remainder is broadcast against the vertex set
+  ladder: the (rare) escalated points are BROADCAST, ring-expanded at a
+          coarser level (UDF wrap only on this small side), against the
+          CACHED vertex frame re-keyed to coarse cells by JVM bit shifts —
+          map-side hash join, no second vertex-side Python pass — then one
+          tiny per-point min. Rung radius grows 8× per step (d=3), so
+          populations collapse geometrically; cheap existence probes on
+          the persisted rungs short-circuit the whole ladder in the common
+          all-accepted case.
+  brute:  the remainder is broadcast against the vertex set
           (BroadcastNestedLoopJoin) — exact by construction, and bounded:
           the stream side is one cached vertex scan, the broadcast side is
-          only points that found nothing within ~8 coarse cells
-          (ocean-grade isolation) or sit on a cube-corner cell. Empty
-          escalation sets short-circuit driver-side (cheap counts on the
-          persisted tier-1 frame), so the common all-accepted case runs
-          tier 1 only.
+          only points with nothing within ~0.95·min_edge(4) ≈ 350 km
+          (open-ocean isolation) or cube-corner stragglers.
 
 Distances: trig-free squared 3D chord per candidate (strictly monotonic in
 great-circle distance), converted to haversine meters only for each point's
