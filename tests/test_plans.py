@@ -89,3 +89,39 @@ def test_tile_counts_partial_aggregation(spark):
     # map-side partial agg before the exchange, final after
     assert plan.count("HashAggregate") >= 2
     assert "partial_count" in plan or "Partial" in plan
+
+
+def test_pages_table_partition_pruning(spark, tmp_path):
+    """Date-partitioned pages layout: a date-range read must prune at the
+    PartitionFilters level (directory skip), not post-scan."""
+    from wayproblems_spark.sources.pages_source import (
+        read_pages_table,
+        write_pages_table,
+    )
+
+    corpus = generate_corpus(n_pages=120, seed=9, split="unit")
+    pages = pages_df(spark, corpus)
+    # spread warc_ts over 4 days deterministically
+    pages = pages.withColumn(
+        "warc_ts",
+        F.timestamp_seconds(
+            F.unix_timestamp("warc_ts")
+            + (F.xxhash64("url") % 4) * F.lit(86400)
+        ),
+    )
+    path = str(tmp_path / "pages_table")
+    write_pages_table(pages, path)
+
+    import datetime
+
+    all_dates = sorted(
+        r["warc_date"]
+        for r in read_pages_table(path, spark).select("warc_date").distinct().collect()
+    )
+    assert len(all_dates) >= 3
+    pick = all_dates[1]
+    df = read_pages_table(path, spark, since=pick, until=pick + datetime.timedelta(days=1))
+    plan = plan_str(df)
+    assert "PartitionFilters" in plan and "warc_date" in plan.split("PartitionFilters")[1][:200]
+    got_dates = {r["warc_date"] for r in df.select("warc_date").distinct().collect()}
+    assert got_dates == {pick}
