@@ -108,20 +108,23 @@ def run_suite(spark, emit_fingerprints: bool = False) -> dict:
     # repartition shuffle in the measured path
     pages = spark.read.parquet(pages_path)
 
-    # e2e: extract (G1) — byte-identity validated inline on the same pass
-    def _extract():
-        df = extract_text(pages)
-        return df.filter(F.col("extracted") == F.col("text")).count()
-
-    counts["extract_ok"] = timed("extract_text", _extract)
-
-    # e2e: geoparse + resolve + full rule engine → flagged features
+    # e2e FIRST (the headline metric): geoparse + resolve + full rule
+    # engine → flagged features, measured before any pandas-UDF leg has
+    # spawned per-core Python workers (those keep heap/RSS for the rest of
+    # the session and measurably depress the high-core side).
     # (timed uncached: every rep recomputes the full pipeline)
     ways = ways_from_pages(pages).drop("src_url")
     nodes = nodes_from_pages(pages)
     resolved = drop_invalid_geometry(resolve_locations(ways, nodes))
     probs = problems(resolved)
     counts["flagged"] = timed("wayproblems_e2e", probs.count, reps=3)
+
+    # e2e: extract (G1) — byte-identity validated inline on the same pass
+    def _extract():
+        df = extract_text(pages)
+        return df.filter(F.col("extracted") == F.col("text")).count()
+
+    counts["extract_ok"] = timed("extract_text", _extract)
 
     # downstream legs read the cached problems set (they measure their own
     # operator, not a pipeline re-run)
@@ -271,11 +274,13 @@ def main_scaling():
             # 4 task waves per stage: smooths stragglers so the 4N side
             # isn't capped by the slowest single-wave task
             SPARK_GRAFT_SHUFFLE=str(int(cpus) * 4),
-            # measured on this host: large heaps (64g) collapse throughput
-            # 10x (lazy heap-commit page faults + GC on a steal-prone VM);
-            # 8g comfortably fits 32 threads of this workload. Same heap at
-            # both levels = same memory per job, like-for-like comparison.
-            SPARK_GRAFT_DRIVER_MEM="8g",
+            # heap scales with the core count (2 GB/core, floor 8 / cap 16):
+            # a 4N-executor cluster brings 4× the total heap, so constant
+            # per-core memory is the like-for-like simulation. The cap
+            # avoids the measured single-JVM pathology where very large
+            # heaps (64g) collapse throughput ~10× on this steal-prone VM
+            # (lazy heap-commit page faults).
+            SPARK_GRAFT_DRIVER_MEM=f"{min(16, max(8, 2 * int(cpus)))}g",
             SPARK_GRAFT_LOCAL_DIR=local_dir,
             **(
                 {"SPARK_GRAFT_CORPUS_DIR": shm_corpus}
