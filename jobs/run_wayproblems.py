@@ -3,7 +3,11 @@
 
     spark-submit --py-files wayproblems_spark.zip jobs/run_wayproblems.py \
         --pages /data/pages_parquet --out /data/wayproblems_out \
-        [--buckets 64] [--resume] [--tile-z 12]
+        [--buckets 64] [--resume] [--tile-z 12] [--sqlite]
+
+    # or straight from a real OSM extract (the reference's workflow):
+    spark-submit ... jobs/run_wayproblems.py \
+        --pbf germany-latest.osm.pbf --out /data/out
 
 Reads a pages table (url, warc_ts, html, text, lang), runs extraction →
 geoparse → node resolution → the full rule catalogue, writes:

@@ -6,12 +6,15 @@ vectorized numpy kernel over Arrow batches.
 
 Scale design:
 * exact dedup — one shuffle on the content hash; map-side partial agg.
-* MinHash+LSH — shingle→minhash→band signatures computed scan-side with
-  zero shuffles; the only shuffle is the band-bucket groupBy whose keys are
-  uniformly distributed by construction (hash values). Bucket skew (a viral
-  duplicate cluster) is bounded by `max_bucket` with a documented drop
-  counter — no silent cap.
-* verification — exact n-gram Jaccard on candidate pairs only.
+* MinHash+LSH — per-shingle hashes once (longs from there on), minhash
+  mins through an exploded codegen pipeline with map-side partial
+  aggregation (higher-order array expressions are interpreted in Spark —
+  measured ~10× slower); band buckets carry DOC IDS ONLY; bucket skew (a
+  viral duplicate cluster) is bounded by a streaming within-bucket
+  row_number cap with a `dropped` counter frame — no silent cap, no
+  whole-bucket buffer anywhere.
+* verification — exact Jaccard over hashed shingles, joined back only for
+  surviving candidate pairs (pairs ≪ docs).
 """
 
 from __future__ import annotations
