@@ -146,9 +146,9 @@ def run_suite(spark, emit_fingerprints: bool = False) -> dict:
     # kNN: inputs staged to parquet once (excluded from timing, like corpus
     # generation) so the leg measures the OPERATOR — index build + tiered
     # joins — not a recompute of the upstream extract/resolve pipeline.
-    # Warm codegen/python-workers with one untimed run, then measure a
-    # single cache-free execution (its internal persists count toward its
-    # own wall time).
+    # Warm codegen/python-workers with one untimed run, then time fresh
+    # executions (each rep rebuilds its own internal persists — they count
+    # toward its wall time; nothing is reused across reps).
     knn_in = os.path.join(SCRATCH, f"bench_knn_in_{BENCH_PAGES}_s42")
     if not os.path.exists(os.path.join(knn_in, "ways", "_SUCCESS")):
         resolved.select("way_id", "geom").write.mode("overwrite").parquet(
@@ -167,7 +167,7 @@ def run_suite(spark, emit_fingerprints: bool = False) -> dict:
         knn_holder["df"] = knn_nearest_way(pts, knn_ways, level=None)
         return knn_holder["df"].count()
 
-    counts["knn"] = timed("knn_assign", _knn, reps=1)
+    counts["knn"] = timed("knn_assign", _knn, reps=2)
     knn = knn_holder["df"]
 
     if emit_fingerprints:

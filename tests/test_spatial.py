@@ -220,3 +220,32 @@ def test_bit_stability_across_parallelism(spark):
     a = run(2)
     b = run(13)
     assert a == b
+
+
+def test_tile_pyramid_rollup_equals_direct(spark):
+    """The z_max rollup (2 shuffles, ~#tiles rows) must be bit-identical
+    to the direct per-zoom floor computation, clamps included."""
+    from wayproblems_spark.operators.resolve import (
+        drop_invalid_geometry as _dig,
+        resolve_locations as _rl,
+    )
+    from wayproblems_spark.operators.tiles import tile_pyramid, tile_pyramid_direct
+    from wayproblems_spark.rules import problems as _problems
+
+    corpus, ways, nodes, _ = _corpus_frames(spark, seed=41, n_pages=250)
+    probs = _problems(_dig(_rl(ways, nodes, broadcast_nodes=True)))
+    a = sorted(map(tuple, tile_pyramid(probs, 6, 15).collect()))
+    b = sorted(map(tuple, tile_pyramid_direct(probs, 6, 15).collect()))
+    assert a == b and len(a) > 100
+
+    # extreme coordinates: clamp paths must agree too
+    extreme = spark.createDataFrame(
+        [(1, "wayproblems", [{"lon": -180.0, "lat": 89.9}]),
+         (2, "ref", [{"lon": 180.0, "lat": -89.9}]),
+         (3, "defaults", [{"lon": 0.0, "lat": 85.06}]),
+         (4, "strange", [{"lon": -179.99999, "lat": -85.06}])],
+        "way_id long, layer string, geom array<struct<lon:double,lat:double>>",
+    )
+    a = sorted(map(tuple, tile_pyramid(extreme, 3, 12).collect()))
+    b = sorted(map(tuple, tile_pyramid_direct(extreme, 3, 12).collect()))
+    assert a == b

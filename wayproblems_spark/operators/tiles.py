@@ -75,9 +75,48 @@ def tile_counts(problems_df: DataFrame, z: int) -> DataFrame:
 
 def tile_pyramid(problems_df: DataFrame, z_min: int = 6, z_max: int = 15) -> DataFrame:
     """Full tile pyramid: per-tile layer counts at every zoom in
-    [z_min, z_max] — the standard production tiling workload. One anchored
-    scan feeds all levels via explode over the zoom range; a single shuffle
-    on (z, x, y, layer)."""
+    [z_min, z_max] — the standard production tiling workload.
+
+    Two-shuffle ROLLUP plan: anchor → aggregate once at z_max (the only
+    problem-sized shuffle) → explode the zoom range over the per-tile rows
+    and derive each parent id by bit shift → sum with map-side partials.
+    Exactness: doubles scale by powers of two losslessly, so
+    ``floor(base·2^z) == floor(base·2^z_max) >> (z_max−z)`` (clamps
+    included) — the rollup is BIT-IDENTICAL to the direct per-zoom floor
+    (``tile_pyramid_direct``, test-asserted) while shuffling
+    ~#tiles(z_max) rows instead of #problems × #zooms."""
+    df = problem_anchor(problems_df)
+    n = float(1 << z_max)
+    fx = (F.col("_lon") + 180.0) / 360.0 * n
+    lat_rad = F.radians("_lat")
+    fy = (1.0 - F.log(F.tan(lat_rad) + 1.0 / F.cos(lat_rad)) / math.pi) / 2.0 * n
+    x = F.greatest(F.lit(0.0), F.least(F.floor(fx), F.lit(n - 1))).cast("int")
+    y = F.greatest(F.lit(0.0), F.least(F.floor(fy), F.lit(n - 1))).cast("int")
+    base = (
+        df.select("layer", x.alias("x"), y.alias("y"))
+        .groupBy("x", "y", "layer")
+        .agg(F.count("*").alias("c"))
+    )
+    zooms = F.explode(
+        F.sequence(F.lit(z_min), F.lit(z_max)).cast("array<int>")
+    ).alias("tile_z")
+    return (
+        base.select("x", "y", "layer", "c", zooms)
+        .select(
+            "tile_z",
+            F.expr(f"shiftright(x, {z_max} - tile_z)").alias("tile_x"),
+            F.expr(f"shiftright(y, {z_max} - tile_z)").alias("tile_y"),
+            "layer", "c",
+        )
+        .groupBy("tile_z", "tile_x", "tile_y", "layer")
+        .agg(F.sum("c").alias("problem_count"))
+    )
+
+
+def tile_pyramid_direct(problems_df: DataFrame, z_min: int = 6, z_max: int = 15) -> DataFrame:
+    """Direct per-zoom formulation (explode problems × zooms, one shuffle
+    on (z, x, y, layer)) — kept as the independent oracle for the rollup
+    equivalence test."""
     df = problem_anchor(problems_df)
     zooms = F.explode(
         F.sequence(F.lit(z_min), F.lit(z_max)).cast("array<int>")
