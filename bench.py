@@ -175,6 +175,25 @@ def run_suite(spark, emit_fingerprints: bool = False) -> dict:
             knn.select("point_id", "way_id", F.round("dist_m", 6).alias("d"))
         )
 
+    # pure-compute control: a shuffle-free codegen aggregation over
+    # generated rows — no input, no memory-bandwidth-bound columnar IO, no
+    # Python. Its N→4N ratio is the achievable Spark-stage scaling ceiling
+    # of THIS box (one JVM, shared LLC/memory bus); workload efficiencies
+    # should be read against it, not against an ideal 4.0.
+    def _control():
+        return (
+            spark.range(0, 400_000_000, 1, int(CPUS) * 4)
+            .select(
+                F.sum(
+                    F.sqrt(F.col("id").cast("double") + 1.0)
+                    + F.log1p(F.col("id").cast("double"))
+                ).alias("s")
+            )
+            .collect()[0]["s"]
+        )
+
+    counts["control"] = int(timed("control_arith", _control))
+
     # drop pipeline caches so the analytics legs run unpressured
     spark.catalog.clearCache()
 
@@ -302,6 +321,11 @@ def main_scaling():
         "tiles_per_sec": round((r32["tiles_per_sec"] / r8["tiles_per_sec"]) / 4.0, 3),
         "knn_per_sec": round((r32["knn_per_sec"] / r8["knn_per_sec"]) / 4.0, 3),
         "wall": round((t8 / t32) / 4.0, 3),
+        "control_arith": round(
+            (r8["queries"]["control_arith"] / r32["queries"]["control_arith"]) / 4.0, 3
+        )
+        if "control_arith" in r8.get("queries", {})
+        else None,
     }
     stable = r8["fingerprints"] == r32["fingerprints"]
 
@@ -318,6 +342,12 @@ def main_scaling():
         f.write(f"| tiles/sec (problems rasterized) | {r8['tiles_per_sec']} | {r32['tiles_per_sec']} | {eff['tiles_per_sec']} |\n")
         f.write(f"| knn points/sec | {r8['knn_per_sec']} | {r32['knn_per_sec']} | {eff['knn_per_sec']} |\n")
         f.write(f"| total wall (s) | {t8} | {t32} | {eff['wall']} |\n")
+        if eff.get("control_arith") is not None:
+            f.write(
+                f"| pure-compute control (shuffle-free codegen agg) | "
+                f"{r8['queries']['control_arith']}s | {r32['queries']['control_arith']}s | "
+                f"{eff['control_arith']} (box ceiling) |\n"
+            )
         f.write("\nPer-leg wall seconds (warm = steady-state min of 2 reps; cold = first\n")
         f.write("run incl. one-time codegen JIT / AQE planning, which amortizes to zero\n")
         f.write("at production scale):\n\n")
