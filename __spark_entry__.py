@@ -534,6 +534,19 @@ def r12_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(e, q, dim=dim, k=10, n_planes=6, n_tables=8)
 
 
+def r13_ann_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantizer ANN (k-means lists + nprobe + exact re-rank) —
+    the data-adaptive scale path beside the hyperplane-LSH one (r12)."""
+    from wayproblems_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()["embedding"])
+    q = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivf_topk(e, q, dim=dim, k=10, n_lists=16, nprobe=4, iters=3)
+
+
 def q11_tile_counts_sql(spark, sf_dir):
     """G6 tile math oracle-checked: deterministic synthetic lat/lon derived
     from event_id, slippy tile assignment at z=11 via the production
@@ -666,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r10_doc_quality": r10_doc_quality,
         "r11_ann_topk": r11_ann_topk,
         "r12_ann_lsh_topk": r12_ann_lsh_topk,
+        "r13_ann_ivf_topk": r13_ann_ivf_topk,
     }
 
 

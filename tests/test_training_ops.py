@@ -229,3 +229,38 @@ def test_simhash_identical_chunk_flood_bounded(spark):
     assert len(drop_rows) == 4
     for r in drop_rows:
         assert r["bucket_n"] == 3000 and r["dropped"] == 2950
+
+
+def test_ivf_topk_recall_on_planted_neighbors(spark):
+    """IVF coarse quantizer + nprobe search must recover planted near
+    neighbors (clustered corpus — IVF's home turf) and stay deterministic
+    across partitionings."""
+    import numpy as np
+
+    from wayproblems_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(7)
+    dim, n_clusters, per = 16, 8, 40
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        center = rng.normal(size=dim)
+        center /= np.linalg.norm(center)
+        for _ in range(per):
+            v = center + rng.normal(scale=0.05, size=dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # queries: tiny perturbations of known rows → their source row must rank #1
+    q_rows = [(i, [float(x + 0.001) for x in rows[i * per][1]]) for i in range(n_clusters)]
+    queries = spark.createDataFrame(q_rows, "q_id long, q_vec array<double>")
+
+    out = ivf_topk(corpus, queries, dim=dim, k=5, n_lists=8, nprobe=2, iters=4)
+    top1 = {r["q_id"]: r["vec_id"] for r in out.filter(F.col("rank") == 1).collect()}
+    hits = sum(top1.get(q) == q * per for q in range(n_clusters))
+    assert hits >= n_clusters - 1  # allow one cluster-merge miss
+
+    out2 = ivf_topk(
+        corpus.repartition(13), queries, dim=dim, k=5, n_lists=8, nprobe=2, iters=4
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))

@@ -111,3 +111,151 @@ def lsh_topk(
     scored = cand.select(F.col(q_id_col), F.col(id_col), sim.alias("sim"))
     w = Window.partitionBy(q_id_col).orderBy(F.desc("sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the classic coarse-quantizer scale path:
+# k-means lists over the corpus, probe the nprobe closest lists per query,
+# exact re-rank inside them. Complements lsh_topk: IVF adapts to the data
+# distribution (clustered corpora bucket far better than random planes).
+# ---------------------------------------------------------------------------
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(n == 0, 1.0, n)
+
+
+def ivf_train(
+    corpus: DataFrame,
+    dim: int,
+    n_lists: int = 64,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float = 1.0,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer → (n_lists, dim) centroid matrix.
+
+    Deterministic: init = the n_lists corpus rows with the smallest
+    xxhash64(id) (a seedless, order-free pseudo-random sample); Lloyd
+    assignment runs distributed (per-partition numpy argmax over Arrow
+    batches against broadcast centroids), and the per-list mean reduces
+    through a groupBy on (list, component) — order-insensitive sums of
+    the same float set → bit-stable across partitionings. At 100 TB train
+    on a sample (`sample_fraction`), assign the full corpus once.
+    """
+    pool = corpus.select(id_col, vec_col)
+    if sample_fraction < 1.0:
+        # deterministic hash-based sample (no RNG, no order dependence)
+        pool = pool.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), 10_000)
+            < int(sample_fraction * 10_000)
+        )
+    init = (
+        pool.withColumn("_h", F.xxhash64(F.col(id_col)))
+        .orderBy("_h", id_col)
+        .limit(n_lists)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = _normalize_rows(
+        np.array([r[vec_col] for r in init], dtype=np.float64)
+    )
+
+    spark = corpus.sparkSession
+    for _ in range(iters):
+        assigned = pool.select(
+            id_col,
+            vec_col,
+            _ivf_assign_udf(spark, centroids)(F.col(vec_col)).alias("list_id"),
+        )
+        # component-wise mean per list: explode → groupBy (list, pos) —
+        # sums are order-insensitive; collect is n_lists × dim (tiny)
+        comp = (
+            assigned.select("list_id", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("list_id", "pos")
+            .agg(F.sum(F.col("val").cast("double")).alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = centroids.copy()
+        sums = np.zeros((n_lists, dim))
+        cnts = np.zeros(n_lists)
+        for r in comp:
+            sums[r["list_id"], r["pos"]] = r["s"]
+            cnts[r["list_id"]] = r["n"]
+        live = cnts > 0
+        new[live] = _normalize_rows(sums[live] / cnts[live, None])
+        centroids = new
+    return centroids
+
+
+_ivf_cache: dict = {}
+
+
+def _ivf_assign_udf(spark, centroids: np.ndarray):
+    """(embedding) → nearest-centroid list id; numpy matmul over Arrow
+    batches against the broadcast centroid matrix (cosine == dot, both
+    sides L2-normalized; ties → lowest list id via argmax semantics)."""
+    bc = spark.sparkContext.broadcast(centroids)
+
+    @pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        c = bc.value
+        m = _normalize_rows(np.array(vecs.tolist(), dtype=np.float64))
+        return pd.Series(np.argmax(m @ c.T, axis=1).astype(np.int32))
+
+    return _assign
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_lists: int = 64,
+    nprobe: int = 8,
+    iters: int = 5,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Approximate top-k: assign corpus to IVF lists once, probe the
+    `nprobe` closest lists per query, exact cosine re-rank inside them.
+    Pass a pretrained `centroids` matrix to skip training (the production
+    pattern: train once, reuse across query batches)."""
+    from pyspark.sql.window import Window
+
+    spark = corpus.sparkSession
+    if centroids is None:
+        centroids = ivf_train(corpus, dim, n_lists, iters, id_col, vec_col)
+    assigned = corpus.select(
+        id_col, vec_col,
+        _ivf_assign_udf(spark, centroids)(F.col(vec_col)).alias("list_id"),
+    )
+    # driver-side probe lists per query would collect queries; instead the
+    # (tiny) query side explodes its nprobe lists distributed
+    bc = spark.sparkContext.broadcast(centroids)
+
+    @pandas_udf("array<int>")
+    def _probes(vecs: pd.Series) -> pd.Series:
+        c = bc.value
+        m = _normalize_rows(np.array(vecs.tolist(), dtype=np.float64))
+        order = np.argsort(-(m @ c.T), axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(order.astype(np.int32).tolist())
+
+    q = queries.select(
+        q_id_col, q_vec_col,
+        F.explode(_probes(F.col(q_vec_col))).alias("list_id"),
+    )
+    cand = assigned.join(F.broadcast(q), "list_id").drop("list_id")
+    sim = cosine_expr(
+        F.col(vec_col).cast("array<double>"), F.col(q_vec_col).cast("array<double>")
+    )
+    scored = cand.select(F.col(q_id_col), F.col(id_col), sim.alias("sim")).dropDuplicates(
+        [q_id_col, id_col]
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
