@@ -188,6 +188,27 @@ def q10_user_event_sessions(spark, sf_dir):
     )
 
 
+# G4 PIP oracle polygons — single literal source for BOTH the Spark query
+# and the DuckDB SQL (rings closed, (lon, lat)). P1 straddles the S2
+# face-0/1 seam at lon 45°; P2 is concave; P4 is wide (interior gnomonic
+# st extrema off the corners) — the two round-2 under-cover modes.
+_PIP_POLYS = [
+    (1, "admin", [(41.0, 8.0), (49.0, 8.0), (49.0, 16.0), (41.0, 16.0), (41.0, 8.0)]),
+    (2, "landuse", [(39.0, 10.0), (44.0, 10.0), (44.0, 13.0), (42.0, 13.0),
+                    (42.0, 18.0), (39.0, 18.0), (39.0, 10.0)]),
+    (3, "water", [(46.0, 17.0), (51.0, 19.0), (47.0, 23.0), (46.0, 17.0)]),
+    (4, "admin", [(38.5, 5.5), (51.5, 5.5), (51.5, 7.5), (38.5, 7.5), (38.5, 5.5)]),
+]
+
+
+def _pip_edges_values() -> str:
+    rows = []
+    for pid, kind, ring in _PIP_POLYS:
+        for (ax, ay), (bx, by) in zip(ring[:-1], ring[1:]):
+            rows.append(f"({pid}, '{kind}', {ax!r}, {ay!r}, {bx!r}, {by!r})")
+    return ",\n               ".join(rows)
+
+
 ORACLE = {
     "q01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -412,6 +433,33 @@ ORACLE = {
         SELECT event_id,
                (CAST(288230376151711744 AS BIGINT) + gi*536870912 + gj) AS cell
         FROM ij
+    """,
+    # G4 point-in-polygon — brute-force even-odd ray cast + on-edge rule
+    # over the same literal polygon edges the Spark operator receives; the
+    # operator's S2 cell cover is a sound superset, so bucket-join + ray
+    # cast must equal the full cross join. XOR-fold == SUM(crossing) % 2
+    # (both order-insensitive); identical edge arithmetic both sides.
+    "q15_pip_sql": f"""
+        WITH pts AS (
+          SELECT event_id AS point_id,
+                 5.0 + (event_id % 20000)/1000.0 AS py,
+                 38.0 + ((event_id*7) % 14000)/1000.0 AS px
+          FROM events),
+        edges(poly_id, kind, ax, ay, bx, by) AS (VALUES
+               {_pip_edges_values()}),
+        t AS (
+          SELECT p.point_id, e.poly_id, e.kind,
+                 CASE WHEN ((e.ay > p.py) != (e.by > p.py))
+                       AND p.px < (e.bx - e.ax) * (p.py - e.ay) / (e.by - e.ay) + e.ax
+                      THEN 1 ELSE 0 END AS crossing,
+                 CASE WHEN ABS((e.bx - e.ax)*(p.py - e.ay) - (e.by - e.ay)*(p.px - e.ax)) < 1e-12
+                       AND p.px >= LEAST(e.ax, e.bx) - 1e-12 AND p.px <= GREATEST(e.ax, e.bx) + 1e-12
+                       AND p.py >= LEAST(e.ay, e.by) - 1e-12 AND p.py <= GREATEST(e.ay, e.by) + 1e-12
+                      THEN 1 ELSE 0 END AS onedge
+          FROM pts p CROSS JOIN edges e)
+        SELECT point_id, CAST(poly_id AS BIGINT) AS poly_id, kind
+        FROM t GROUP BY point_id, poly_id, kind
+        HAVING SUM(crossing) % 2 = 1 OR MAX(onedge) = 1
     """,
 }
 
@@ -638,6 +686,30 @@ def q13_s2_grid_sql(spark, sf_dir):
     return with_grid(p, "lat", "lon", 12, out="cell").select("event_id", "cell")
 
 
+def q15_pip_sql(spark, sf_dir):
+    """G4 point-in-polygon oracle-checked: the full production operator
+    (driver-side sound S2 cell cover → broadcast bucket join → JVM
+    ray cast, operators/pip.py) vs a DuckDB brute-force even-odd +
+    on-edge oracle over the same literal polygons. P1 straddles the
+    face-0/1 seam at lon 45°, so this locks in the cross-face cover fix
+    (cells.covering_cells)."""
+    from wayproblems_spark.operators.pip import point_in_polygon
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("event_id").alias("point_id"),
+        (F.lit(5.0) + (F.col("event_id") % 20000) / 1000.0).alias("lat"),
+        (F.lit(38.0) + ((F.col("event_id") * 7) % 14000) / 1000.0).alias("lon"),
+    )
+    polys = spark.createDataFrame(
+        [(pid, kind, ring) for pid, kind, ring in _PIP_POLYS],
+        "poly_id long, kind string, ring array<struct<lon:double,lat:double>>",
+    )
+    return point_in_polygon(spark, pts, polys, level=9).select(
+        "point_id", "poly_id", "kind"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full wayproblems pipeline on the deterministic fixture
     corpus (pages → extract → geoparse → resolve → 230-site rule engine)."""
@@ -667,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_knn_bruteforce_sql": q12_knn_bruteforce_sql,
         "q13_s2_grid_sql": q13_s2_grid_sql,
         "q14_knn_segments_sql": q14_knn_segments_sql,
+        "q15_pip_sql": q15_pip_sql,
         "r01_wayproblems_problems": r01_wayproblems_problems,
         "r02_wayproblems_stdout": r02_wayproblems_stdout,
         "r03_tile_counts": r03_tile_counts,
