@@ -63,6 +63,41 @@ def cosine_topk(
 _udf_cache: dict = {}
 
 
+def _rerank_sim_udf(spark, queries: DataFrame, q_id_col: str, q_vec_col: str):
+    """Batched exact-cosine re-rank for candidate (q_id, vec) rows.
+
+    The query side is tiny (it is already the broadcast side of the bucket
+    join), so it is collected once, L2-normalized into a numpy matrix and
+    shipped via a Spark broadcast; candidates score with one row-batch
+    matmul (einsum) per Arrow batch. This replaces the interpreted
+    ``aggregate``/``zip_with`` fold on the re-rank hot path (VERDICT r2
+    "wrong #2" — higher-order array exprs are ~10× slower than codegen/
+    numpy on this stack; measurement cited in BENCH/BASELINE.md)."""
+    rows = queries.select(q_id_col, q_vec_col).collect()
+    idx = {r[q_id_col]: i for i, r in enumerate(rows)}
+    qm = _normalize_rows(np.array([r[q_vec_col] for r in rows], dtype=np.float64))
+    bc = spark.sparkContext.broadcast((idx, qm))
+
+    dim = qm.shape[1]
+
+    @pandas_udf("double")
+    def _sim(qid: pd.Series, vec: pd.Series) -> pd.Series:
+        index, mat = bc.value
+        rix = qid.map(index).to_numpy()
+        # Arrow hands a Series of numpy arrays: one C-level concatenate
+        # beats np.array(tolist()) (per-row Python conversion) by ~2×;
+        # compute stays in the input dtype (float32 embeddings) with a
+        # float64 einsum accumulator — half the memory traffic, and the
+        # per-row dot is partition-order independent either way.
+        m = np.concatenate(vec.to_numpy()).reshape(len(vec), dim)
+        nrm = np.sqrt(np.einsum("ij,ij->i", m, m, dtype=np.float64))
+        nrm[nrm == 0] = 1.0
+        dots = np.einsum("ij,ij->i", m, mat[rix].astype(m.dtype, copy=False), dtype=np.float64)
+        return pd.Series(dots / nrm)
+
+    return _sim
+
+
 def _hyperplane_sig_udf(dim: int, n_planes: int, seed: int):
     key = ("hp", dim, n_planes, seed)
     if key not in _udf_cache:
@@ -91,6 +126,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
+    rerank: str = "numpy",
 ) -> DataFrame:
     """Approximate top-k via hyperplane LSH bucket join + exact re-rank."""
     from pyspark.sql.window import Window
@@ -105,9 +141,13 @@ def lsh_topk(
     for p in parts[1:]:
         cand = cand.unionByName(p)
     cand = cand.dropDuplicates([q_id_col, id_col])
-    sim = cosine_expr(
-        F.col(vec_col).cast("array<double>"), F.col(q_vec_col).cast("array<double>")
-    )
+    if rerank == "expr":  # kept for the A/B benchmark only
+        sim = cosine_expr(
+            F.col(vec_col).cast("array<double>"), F.col(q_vec_col).cast("array<double>")
+        )
+    else:
+        simf = _rerank_sim_udf(corpus.sparkSession, queries, q_id_col, q_vec_col)
+        sim = simf(F.col(q_id_col), F.col(vec_col))
     scored = cand.select(F.col(q_id_col), F.col(id_col), sim.alias("sim"))
     w = Window.partitionBy(q_id_col).orderBy(F.desc("sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -152,6 +192,8 @@ def ivf_train(
             F.pmod(F.xxhash64(F.col(id_col)), 10_000)
             < int(sample_fraction * 10_000)
         )
+    # the same pool frame feeds the init scan + every Lloyd iteration
+    pool = pool.persist()
     init = (
         pool.withColumn("_h", F.xxhash64(F.col(id_col)))
         .orderBy("_h", id_col)
@@ -187,6 +229,7 @@ def ivf_train(
         live = cnts > 0
         new[live] = _normalize_rows(sums[live] / cnts[live, None])
         centroids = new
+    pool.unpersist()
     return centroids
 
 
@@ -221,6 +264,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
+    rerank: str = "numpy",
 ) -> DataFrame:
     """Approximate top-k: assign corpus to IVF lists once, probe the
     `nprobe` closest lists per query, exact cosine re-rank inside them.
@@ -250,12 +294,16 @@ def ivf_topk(
         q_id_col, q_vec_col,
         F.explode(_probes(F.col(q_vec_col))).alias("list_id"),
     )
-    cand = assigned.join(F.broadcast(q), "list_id").drop("list_id")
-    sim = cosine_expr(
-        F.col(vec_col).cast("array<double>"), F.col(q_vec_col).cast("array<double>")
-    )
-    scored = cand.select(F.col(q_id_col), F.col(id_col), sim.alias("sim")).dropDuplicates(
+    cand = assigned.join(F.broadcast(q), "list_id").drop("list_id").dropDuplicates(
         [q_id_col, id_col]
     )
+    if rerank == "expr":  # kept for the A/B benchmark only
+        sim = cosine_expr(
+            F.col(vec_col).cast("array<double>"), F.col(q_vec_col).cast("array<double>")
+        )
+    else:
+        simf = _rerank_sim_udf(spark, queries, q_id_col, q_vec_col)
+        sim = simf(F.col(q_id_col), F.col(vec_col))
+    scored = cand.select(F.col(q_id_col), F.col(id_col), sim.alias("sim"))
     w = Window.partitionBy(q_id_col).orderBy(F.desc("sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
