@@ -110,3 +110,46 @@ def test_pbf_to_parquet_and_rule_engine_e2e(spark, tmp_path):
     assert any(
         r["way_id"] == 7 and "layer=abc is not integer" in r["problem"] for r in rows
     )
+
+
+def test_packed_field_split_across_occurrences():
+    """Protobuf permits one packed repeated field to arrive as several
+    length-delimited occurrences; the decoder must concatenate them
+    (round-2 ADVICE: reading only [0] silently dropped ids/refs)."""
+    from wayproblems_spark.sources.osm_pbf import (
+        _enc_varint,
+        _enc_zig,
+        _field,
+        decode_primitive_block,
+    )
+
+    def ld(num, payload):
+        return _field(num, 2) + _enc_varint(len(payload)) + payload
+
+    deltas = [101, 1, 1]  # ids 101,102,103 delta-coded
+    lat_d = [510000000, 1000, 1000]
+    lon_d = [80000000, 1000, 1000]
+
+    def packed_split(num, vals):
+        # split one packed field into TWO occurrences
+        a = b"".join(_enc_zig(v) for v in vals[:1])
+        b = b"".join(_enc_zig(v) for v in vals[1:])
+        return ld(num, a) + ld(num, b)
+
+    dense = packed_split(1, deltas) + packed_split(8, lat_d) + packed_split(9, lon_d)
+    group = ld(2, dense)
+    stringtable = ld(1, ld(1, b""))
+    block = stringtable + ld(2, group)
+    out = decode_primitive_block(block)
+    assert out["nodes"]["node_id"].tolist() == [101, 102, 103]
+    # lat = 1e-9 * granularity(100) * cumsum(delta)
+    np.testing.assert_allclose(out["nodes"]["lat"].tolist(), [51.0, 51.0001, 51.0002])
+
+
+def test_truncated_packed_varint_raises():
+    from wayproblems_spark.sources.osm_pbf import _enc_varint
+    import pytest
+
+    buf = _enc_varint(300) + b"\x96"  # final byte has continuation bit set
+    with pytest.raises(ValueError, match="truncated"):
+        decode_packed_varints(buf)

@@ -429,13 +429,21 @@ def build_segment_cell_index(segs: DataFrame, level: int) -> DataFrame:
     at every wrapped-ring cell of ≤½-min-edge spaced samples along its
     chord. Sample positions are JVM arithmetic (lerp on the chord,
     renormalized, xyz→lat/lon); only the ring encode is the UDF."""
-    piece = 0.5 * _MIN_EDGE_RAD / (1 << level)  # target chord spacing (rad)
+    piece = 0.5 * _MIN_EDGE_RAD / (1 << level)  # target ON-ARC spacing (rad)
     chord = F.sqrt(
         _chord2(F.col("ax"), F.col("ay"), F.col("az"),
                 F.col("bx"), F.col("by"), F.col("bz"))
     )
+    # normalized-lerp samples are equally spaced on the CHORD; projecting
+    # to the arc stretches spacing by ≤ 1/cos(θ/2) (θ = segment arc,
+    # cos(θ/2) = √(1 − (chord/2)²)). Fold that stretch into n_pieces so
+    # the ½-min-edge soundness bound holds on the arc for ANY segment arc
+    # < 180°, not just short ones (round-2 ADVICE).
+    half_cos = F.sqrt(
+        F.greatest(F.lit(1e-12), 1.0 - (chord / 2.0) * (chord / 2.0))
+    )
     n_pieces = F.greatest(
-        F.lit(1), F.ceil(chord / F.lit(piece)).cast("int")
+        F.lit(1), F.ceil(chord / (F.lit(piece) * half_cos)).cast("int")
     )
     k = F.explode(F.sequence(F.lit(0), n_pieces)).alias("k")
     t = F.col("k").cast("double") / F.col("np").cast("double")

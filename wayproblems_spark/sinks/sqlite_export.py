@@ -27,6 +27,7 @@ from __future__ import annotations
 import sqlite3
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from .meta import LAYERS, meta_dict
 
@@ -67,10 +68,12 @@ def export_sqlite(features: DataFrame, db_path: str, batch: int = 2000) -> dict[
         )
         for layer in LAYERS
     }
-    # deterministic emission order mirrors the reference's per-way append
+    # deterministic emission order mirrors the reference's per-way append:
+    # id is a string-cast way_id, so sort its NUMERIC value ("9" < "10",
+    # round-2 ADVICE — lexicographic order diverged from the reference)
     it = (
         features.select(*FIELDS, "geometry", "layer", "site", "sub")
-        .orderBy("id", "site", "sub")
+        .orderBy(F.col("id").cast("long"), "site", "sub")
         .toLocalIterator()
     )
     buf: dict[str, list] = {layer: [] for layer in LAYERS}

@@ -97,6 +97,10 @@ def decode_packed_varints(buf: bytes) -> np.ndarray:
     if a.size == 0:
         return np.zeros(0, dtype=np.uint64)
     term = (a & 0x80) == 0
+    if not term[-1]:
+        # the final varint's continuation bit is still set — a silently
+        # dropped tail would corrupt every downstream delta-decoded id
+        raise ValueError("truncated packed varint buffer")
     ends = np.nonzero(term)[0]
     starts = np.empty_like(ends)
     starts[0] = 0
@@ -113,6 +117,13 @@ def decode_packed_varints(buf: bytes) -> np.ndarray:
 
 def _unzig(u: np.ndarray) -> np.ndarray:
     return ((u >> np.uint64(1)).astype(np.int64)) ^ -((u & np.uint64(1)).astype(np.int64))
+
+
+def _packed(msg: dict[int, list], field: int) -> bytes:
+    """Protobuf allows one packed repeated field to be split across several
+    length-delimited occurrences; concatenating them is the spec-compliant
+    read (taking only [0] silently drops ids/coords/refs)."""
+    return b"".join(msg.get(field, []))
 
 
 # ---------------------------------------------------------------------------
@@ -169,9 +180,9 @@ def decode_primitive_block(payload: bytes) -> dict[str, pd.DataFrame]:
         grp = scan_fields(grp_buf)
         if 2 in grp:  # DenseNodes
             dense = scan_fields(grp[2][0])
-            ids = np.cumsum(_unzig(decode_packed_varints(dense[1][0])))
-            lats = np.cumsum(_unzig(decode_packed_varints(dense[8][0])))
-            lons = np.cumsum(_unzig(decode_packed_varints(dense[9][0])))
+            ids = np.cumsum(_unzig(decode_packed_varints(_packed(dense, 1))))
+            lats = np.cumsum(_unzig(decode_packed_varints(_packed(dense, 8))))
+            lons = np.cumsum(_unzig(decode_packed_varints(_packed(dense, 9))))
             node_frames.append(
                 pd.DataFrame(
                     {
@@ -184,9 +195,9 @@ def decode_primitive_block(payload: bytes) -> dict[str, pd.DataFrame]:
         for way_buf in grp.get(3, []):  # Ways
             way = scan_fields(way_buf)
             wid = way[1][0]
-            keys = decode_packed_varints(way.get(2, [b""])[0])
-            vals = decode_packed_varints(way.get(3, [b""])[0])
-            refs = np.cumsum(_unzig(decode_packed_varints(way.get(8, [b""])[0])))
+            keys = decode_packed_varints(_packed(way, 2))
+            vals = decode_packed_varints(_packed(way, 3))
+            refs = np.cumsum(_unzig(decode_packed_varints(_packed(way, 8))))
             version, ts, changeset, uid, user = 0, None, 0, 0, ""
             if 4 in way:
                 info = scan_fields(way[4][0])
