@@ -189,12 +189,20 @@ def run_suite(spark, emit_fingerprints: bool = False) -> dict:
     # CACHE-FREE executions — clearCache runs inside every rep, because
     # Spark's CacheManager matches identical logical plans and would
     # otherwise serve rep 2 from rep 1's internal persists.
-    knn_nearest_way(pts, knn_ways, level=None).count()
+    # SPARK_GRAFT_KNN_MATERIALIZE=1 exercises the cluster-scale bucketed-
+    # parquet materialization path instead of .persist() (bit-identical;
+    # test-asserted). Default stays persist — faster on one node.
+    knn_mat = (
+        os.path.join(SCRATCH, "bench_knn_mat")
+        if os.environ.get("SPARK_GRAFT_KNN_MATERIALIZE") == "1"
+        else None
+    )
+    knn_nearest_way(pts, knn_ways, level=None, materialize_dir=knn_mat).count()
     knn_holder = {}
 
     def _knn():
         spark.catalog.clearCache()
-        knn_holder["df"] = knn_nearest_way(pts, knn_ways, level=None)
+        knn_holder["df"] = knn_nearest_way(pts, knn_ways, level=None, materialize_dir=knn_mat)
         return knn_holder["df"].count()
 
     counts["knn"] = timed("knn_assign", _knn, reps=2)

@@ -307,3 +307,20 @@ def test_pip_face_spanning_polygon(spark):
         if 43.0 <= lo[i] <= 47.0 and 10.0 <= la[i] <= 14.0
     }
     assert got == exp and len(exp) > 100
+
+
+def test_knn_materialized_path_identical(spark, tmp_path):
+    """materialize_dir (bucketed-parquet index + parquet vertex frame, the
+    cluster-scale replacement for .persist()) must produce bit-identical
+    assignments to the in-memory path."""
+    from wayproblems_spark.plans.checkpoint import content_fingerprint
+
+    corpus, ways, nodes, _ = _corpus_frames(spark, seed=33, n_pages=300)
+    resolved = drop_invalid_geometry(resolve_locations(ways, nodes, broadcast_nodes=True))
+    pts = nodes.select(F.col("node_id").alias("point_id"), "lat", "lon")
+    mem = knn_nearest_way(pts, resolved, level=12)
+    mat = knn_nearest_way(
+        pts, resolved, level=12, materialize_dir=str(tmp_path / "knn_mat")
+    )
+    cols = lambda df: df.select("point_id", "way_id", F.round("dist_m", 6).alias("d"))
+    assert content_fingerprint(cols(mem)) == content_fingerprint(cols(mat))
