@@ -47,6 +47,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", help="pages parquet path")
     ap.add_argument("--pbf", help="OSM .pbf input (alternative to --pages)")
+    ap.add_argument("--xml", help="OSM .osm.xml input (alternative to --pages)")
     ap.add_argument("--out", help="output directory")
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--tile-z", type=int, default=12)
@@ -63,8 +64,8 @@ def main():
     if args.make_zip:
         print(make_zip(repo_root))
         return
-    if not (args.pages or args.pbf) or not args.out:
-        ap.error("--pages (or --pbf) and --out are required")
+    if not (args.pages or args.pbf or args.xml) or not args.out:
+        ap.error("--pages (or --pbf / --xml) and --out are required")
 
     from pyspark.sql import SparkSession
 
@@ -96,14 +97,20 @@ def main():
     # per-way, so buckets are then fully independent). run_bucketed stages
     # the resolved ways once partitioned by bucket, so the expensive
     # extract+resolve happens exactly ONE time regardless of bucket count.
-    if args.pbf:
-        # real OSM input (the reference's Geofabrik workflow): convert the
-        # PBF once, then the identical resolve → rules → sinks path
-        from wayproblems_spark.sources.osm_pbf import pbf_to_parquet
+    if args.pbf or args.xml:
+        # real OSM input (the reference's Geofabrik workflow, any
+        # libosmium-format parity): convert once, then the identical
+        # resolve → rules → sinks path
+        if args.pbf:
+            from wayproblems_spark.sources.osm_pbf import pbf_to_parquet as _conv
 
-        conv = os.path.join(args.out, "pbf_tables")
+            src, conv = args.pbf, os.path.join(args.out, "pbf_tables")
+        else:
+            from wayproblems_spark.sources.osm_xml import xml_to_parquet as _conv
+
+            src, conv = args.xml, os.path.join(args.out, "xml_tables")
         if not os.path.exists(os.path.join(conv, "ways", "_SUCCESS")):
-            pbf_to_parquet(spark, args.pbf, conv)
+            _conv(spark, src, conv)
         ways = spark.read.parquet(os.path.join(conv, "ways"))
         nodes = spark.read.parquet(os.path.join(conv, "nodes"))
     else:
