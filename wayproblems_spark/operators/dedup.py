@@ -77,19 +77,29 @@ def _minhash_band_buckets(base: DataFrame, num_hashes: int, bands: int) -> DataF
     xxhash64, an equally valid minhash family)."""
     rows = num_hashes // bands
     ex = base.select("_id", F.explode("shl").alias("hs"))
-    seeded = ex.select(
-        "_id", "hs",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+    # ONE groupBy with num_hashes min-agg columns: same total hash count
+    # as the former seed-explode (each shingle row evaluates all seeds),
+    # but the 64× row materialization, its shuffle and the later
+    # collect_list band agg all disappear — rows stay docs×shingles
+    # through a single map-side-partial hash aggregate.
+    mins = ex.groupBy("_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(s), F.col("hs"))).alias(f"h{s}")
+            for s in range(num_hashes)
+        ]
     )
-    mins = seeded.groupBy("_id", "seed").agg(
-        F.min(F.xxhash64("seed", "hs")).alias("h")
+    # band signature = hash of that band's seed-ordered mins (equality iff
+    # the min tuple matches — the same bucketing the struct-list hash gave)
+    sigs = mins.select(
+        "_id",
+        *[
+            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(f"s{b}")
+            for b in range(bands)
+        ],
     )
-    return (
-        mins.withColumn("band", (F.col("seed") / rows).cast("int"))
-        .groupBy("_id", "band")
-        .agg(
-            F.xxhash64(F.array_sort(F.collect_list(F.struct("seed", "h")))).alias("sig")
-        )
+    stack = ", ".join(f"{b}, s{b}" for b in range(bands))
+    return sigs.select(
+        "_id", F.expr(f"stack({bands}, {stack}) as (band, sig)")
     )
 
 
@@ -145,31 +155,17 @@ def minhash_lsh(
         .filter(F.col("dropped") > 0)
     )
 
-    members = (
-        ranked.filter(F.col("rn") <= max_bucket)
-        .groupBy("band", "sig")
-        .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    # pairs within bucket (i < j), dedup'd across bands via distinct ids
+    # pairs within bucket (a < b) as a codegen self-equi-join on the
+    # bucket key — the nested transform/sequence array expansion this
+    # replaces is interpreted (the repo PERF LAW) and cost the r2 leg
+    # ~2s; both join sides are the same capped frame, so the window's
+    # (band, sig) exchange is reused. Cross-band dups drop on (a, b).
+    kept = ranked.filter(F.col("rn") <= max_bucket).select("band", "sig", "_id")
     cand = (
-        members.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("ids") - 1),
-                        lambda i: F.transform(
-                            F.sequence(i + 1, F.size("ids")),
-                            lambda j: F.struct(
-                                F.element_at("ids", i).alias("a"),
-                                F.element_at("ids", j).alias("b"),
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.a", "p.b")
+        kept.withColumnRenamed("_id", "a")
+        .join(kept.withColumnRenamed("_id", "b"), ["band", "sig"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
 
