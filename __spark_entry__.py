@@ -48,8 +48,14 @@ def q01_pricing_summary(spark, sf_dir):
 
 
 def q02_top_orders(spark, sf_dir):
-    """Join + agg + deterministic top-k (broadcastable dim join shape)."""
-    li = _t(spark, sf_dir, "lineitem")
+    """Join + agg + deterministic top-k (broadcastable dim join shape).
+
+    The testdata table is ONE parquet file with ONE row group, so the scan
+    is a single task no matter the split size; the explicit key
+    repartition restores the parallelism a multi-file production table
+    gives for free, and the join+agg reuse its partitioning (decimal
+    revenue sums are order-insensitive — values bit-identical)."""
+    li = _t(spark, sf_dir, "lineitem").repartition(32, "l_orderkey")
     o = _t(spark, sf_dir, "orders")
     rev = F.sum(
         (F.col("l_extendedprice").cast("decimal(38,4)")

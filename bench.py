@@ -164,19 +164,20 @@ def run_suite(spark, emit_fingerprints: bool = False) -> dict:
     pts = spark.read.parquet(os.path.join(knn_in, "pts"))
     n_pts = pts.count()
 
-    # tile leg: node-density pyramid z6..17 over the full point table
-    # (3× the problems set — deep enough that the leg stays compute-bound
-    # rather than stage-scheduling-bound after the rollup optimization);
-    # the problems pyramid is still produced for the bit-stability
-    # fingerprint (it is the product the north rule names)
+    # tile leg: node-density pyramid z6..19 over the full point table
+    # (3× the problems set; z19 depth keeps the leg compute-bound — at
+    # z17/2.3s the fixed per-stage overheads dominated and capped the
+    # leg's N→4N efficiency below the box ceiling); the problems pyramid
+    # is still produced for the bit-stability fingerprint (it is the
+    # product the north rule names)
     node_frame = pts.select(
         F.lit("nodes").alias("layer"),
         F.array(F.struct(F.col("lon"), F.col("lat"))).alias("geom"),
     )
     counts["tiles"] = timed(
-        "tile_pyramid", tile_pyramid(node_frame, 6, 17).count
+        "tile_pyramid", tile_pyramid(node_frame, 6, 19).count
     )
-    counts["tile_inputs"] = n_pts * 12
+    counts["tile_inputs"] = n_pts * 14
     tiles = tile_pyramid(probs, 6, 17)
 
     if emit_fingerprints:
