@@ -467,6 +467,25 @@ ORACLE = {
         FROM t GROUP BY point_id, poly_id, kind
         HAVING SUM(crossing) % 2 = 1 OR MAX(onedge) = 1
     """,
+    # Connected components — the Spark side is an ITERATIVE hash-min label
+    # propagation; the oracle computes the same fixpoint with a recursive
+    # transitive closure (tractable because the synthetic clusters are
+    # small). component_id = MIN reachable vertex, exact integers.
+    "q16_components_sql": """
+        WITH RECURSIVE
+        e0 AS (SELECT event_id AS a, event_id - event_id % 10 AS b FROM events),
+        e1 AS (SELECT event_id AS a, event_id - 1 AS b FROM events
+               WHERE event_id % 97 = 0 AND event_id > 0),
+        edges AS (SELECT a, b FROM e0 UNION SELECT a, b FROM e1),
+        sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+        verts AS (SELECT DISTINCT a AS v FROM sym),
+        tc(x, y) AS (
+          SELECT v AS x, v AS y FROM verts
+          UNION
+          SELECT tc.x, s.b AS y FROM tc JOIN sym s ON tc.y = s.a
+        )
+        SELECT x AS id, MIN(y) AS component_id FROM tc GROUP BY x
+    """,
 }
 
 
@@ -601,6 +620,23 @@ def r13_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(e, q, dim=dim, k=10, n_lists=16, nprobe=4, iters=3)
 
 
+def r14_near_dup_groups(spark, sf_dir):
+    """Near-dup pairs → duplicate GROUPS with a canonical keeper: minhash
+    pairs clustered by connected components (operators/components.py);
+    docs in no pair keep themselves. Components are oracle-checked by
+    q16; this composes them with the production pair generator."""
+    from wayproblems_spark.operators.components import near_dup_groups
+    from wayproblems_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents").limit(200)
+    dup = d.withColumn("doc_id", F.col("doc_id") + 1000000).withColumn(
+        "text", F.concat("text", F.lit(" tail marker"))
+    )
+    docs = d.unionByName(dup)
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    return near_dup_groups(docs.select("doc_id"), pairs)
+
+
 def q11_tile_counts_sql(spark, sf_dir):
     """G6 tile math oracle-checked: deterministic synthetic lat/lon derived
     from event_id, slippy tile assignment at z=11 via the production
@@ -716,6 +752,25 @@ def q15_pip_sql(spark, sf_dir):
     )
 
 
+def q16_components_sql(spark, sf_dir):
+    """Connected components (operators/components.py — iterative hash-min
+    label propagation, the near-dup pairs→groups step) oracle-checked
+    against a DuckDB RECURSIVE transitive closure on the same synthetic
+    edge set: 10-member star clusters from the events table, occasionally
+    bridged by a %97 edge."""
+    from wayproblems_spark.operators.components import connected_components
+
+    ev = _t(spark, sf_dir, "events")
+    e0 = ev.select(
+        F.col("event_id").alias("a"),
+        (F.col("event_id") - F.col("event_id") % 10).alias("b"),
+    )
+    e1 = ev.filter((F.col("event_id") % 97 == 0) & (F.col("event_id") > 0)).select(
+        F.col("event_id").alias("a"), (F.col("event_id") - 1).alias("b")
+    )
+    return connected_components(e0.unionByName(e1)).select("id", "component_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full wayproblems pipeline on the deterministic fixture
     corpus (pages → extract → geoparse → resolve → 230-site rule engine)."""
@@ -746,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_s2_grid_sql": q13_s2_grid_sql,
         "q14_knn_segments_sql": q14_knn_segments_sql,
         "q15_pip_sql": q15_pip_sql,
+        "q16_components_sql": q16_components_sql,
         "r01_wayproblems_problems": r01_wayproblems_problems,
         "r02_wayproblems_stdout": r02_wayproblems_stdout,
         "r03_tile_counts": r03_tile_counts,
@@ -759,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r11_ann_topk": r11_ann_topk,
         "r12_ann_lsh_topk": r12_ann_lsh_topk,
         "r13_ann_ivf_topk": r13_ann_ivf_topk,
+        "r14_near_dup_groups": r14_near_dup_groups,
     }
 
 
