@@ -279,7 +279,9 @@ def run_suite(spark, emit_fingerprints: bool = False) -> dict:
     from wayproblems_spark.operators.similarity import ivf_topk, ivf_train
 
     ann_n, ann_dim, ann_lists = 1_000_000, 128, 128
-    ann_in = os.path.join(SCRATCH, f"bench_ann_in_{ann_n}_{ann_dim}")
+    ann_in = os.environ.get(
+        "SPARK_GRAFT_ANN_DIR", os.path.join(SCRATCH, f"bench_ann_in_{ann_n}_{ann_dim}")
+    )
     if not os.path.exists(os.path.join(ann_in, "_SUCCESS")):
         _synth_vectors(spark, ann_n, ann_dim).write.mode("overwrite").parquet(ann_in)
     vecs = spark.read.parquet(ann_in)
@@ -370,6 +372,13 @@ def main_scaling():
         os.path.join(shm_corpus, "_SUCCESS")
     ):
         shutil.copytree(src, shm_corpus, dirs_exist_ok=True)
+    # ANN vectors likewise read from tmpfs during scaling comparisons
+    ann_src = os.path.join(SCRATCH, "bench_ann_in_1000000_128")
+    shm_ann = "/dev/shm/wp_bench_ann_1000000_128"
+    if os.path.exists(os.path.join(ann_src, "_SUCCESS")) and not os.path.exists(
+        os.path.join(shm_ann, "_SUCCESS")
+    ):
+        shutil.copytree(ann_src, shm_ann, dirs_exist_ok=True)
     local_dir = "/dev/shm/wp_spark_local"
     os.makedirs(local_dir, exist_ok=True)
 
@@ -394,6 +403,11 @@ def main_scaling():
             **(
                 {"SPARK_GRAFT_CORPUS_DIR": shm_corpus}
                 if os.path.exists(os.path.join(shm_corpus, "_SUCCESS"))
+                else {}
+            ),
+            **(
+                {"SPARK_GRAFT_ANN_DIR": shm_ann}
+                if os.path.exists(os.path.join(shm_ann, "_SUCCESS"))
                 else {}
             ),
         )
