@@ -486,6 +486,62 @@ ORACLE = {
         )
         SELECT x AS id, MIN(y) AS component_id FROM tc GROUP BY x
     """,
+    # way length — identical haversine composition per segment, per-way
+    # totals accumulated in decimal(38,10) (order-insensitive exact) on
+    # both sides; R matches the engine constant 6371008.8
+    "q17_way_length_sql": """
+        WITH p AS (
+          SELECT event_id AS way_id,
+                 -50.0 + (event_id % 100000)/1000.0 AS lat,
+                 -170.0 + ((event_id*19) % 340000)/1000.0 AS lon
+          FROM events),
+        seg AS (
+          SELECT way_id, lon AS ax, lat AS ay, lon+0.3 AS bx, lat+0.2 AS by FROM p
+          UNION ALL
+          SELECT way_id, lon+0.3, lat+0.2, lon+0.5, lat-0.1 FROM p),
+        d AS (
+          SELECT way_id,
+                 2.0*6371008.8*ASIN(SQRT(
+                   SIN(RADIANS(by-ay)/2.0)*SIN(RADIANS(by-ay)/2.0)
+                   + COS(RADIANS(ay))*COS(RADIANS(by))
+                     *SIN(RADIANS(bx-ax)/2.0)*SIN(RADIANS(bx-ax)/2.0)
+                 )) AS dist
+          FROM seg)
+        SELECT way_id,
+               ROUND(CAST(SUM(CAST(dist AS DECIMAL(38,10))) AS DOUBLE), 4) AS length_r4
+        FROM d GROUP BY way_id
+    """,
+    # ring area — equirectangular shoelace at the ring's mean latitude;
+    # mean = decimal-sum → double ÷ double count; cross terms accumulate
+    # in decimal; identical op order to operators/geometry.py
+    "q18_ring_area_sql": """
+        WITH p AS (
+          SELECT event_id AS poly_id,
+                 -50.0 + (event_id % 100000)/1000.0 AS lat,
+                 -170.0 + ((event_id*23) % 340000)/1000.0 AS lon
+          FROM events),
+        e AS (
+          SELECT poly_id, lon AS ax, lat AS ay, lon+0.4 AS bx, lat+0.05 AS by FROM p
+          UNION ALL SELECT poly_id, lon+0.4, lat+0.05, lon+0.35, lat+0.45 FROM p
+          UNION ALL SELECT poly_id, lon+0.35, lat+0.45, lon-0.05, lat+0.4 FROM p
+          UNION ALL SELECT poly_id, lon-0.05, lat+0.4, lon, lat FROM p),
+        m AS (
+          SELECT poly_id,
+                 CAST(SUM(CAST(ay AS DECIMAL(38,10))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS lat0
+          FROM e GROUP BY poly_id),
+        c AS (
+          SELECT e.poly_id,
+                 (e.ax*COS(RADIANS(m.lat0))*(PI()/180.0*6371008.8))
+                   *(e.by*(PI()/180.0*6371008.8))
+                 - (e.bx*COS(RADIANS(m.lat0))*(PI()/180.0*6371008.8))
+                   *(e.ay*(PI()/180.0*6371008.8)) AS cr
+          FROM e JOIN m ON e.poly_id = m.poly_id)
+        SELECT poly_id,
+               ROUND(ABS(CAST(SUM(CAST(cr AS DECIMAL(38,10))) AS DOUBLE))/2.0/1000000.0, 1)
+                 AS area_km2_r1
+        FROM c GROUP BY poly_id
+    """,
 }
 
 
@@ -771,6 +827,59 @@ def q16_components_sql(spark, sf_dir):
     return connected_components(e0.unionByName(e1)).select("id", "component_id")
 
 
+def q17_way_length_sql(spark, sf_dir):
+    """Way polyline length (operators/geometry.py — haversine per segment,
+    decimal-accumulated per-way totals) vs a DuckDB oracle with the
+    identical composition; synthetic 3-vertex ways from events."""
+    from wayproblems_spark.operators.geometry import way_length_m
+
+    ev = _t(spark, sf_dir, "events")
+    lat = F.lit(-50.0) + (F.col("event_id") % 100000) / 1000.0
+    lon = F.lit(-170.0) + ((F.col("event_id") * 19) % 340000) / 1000.0
+
+    def P(dlo, dla):
+        lo = lon + dlo if dlo else lon
+        la = lat + dla if dla else lat
+        return F.struct(lo.alias("lon"), la.alias("lat"))
+
+    ways = ev.select(
+        F.col("event_id").alias("way_id"),
+        F.array(P(0, 0), P(0.3, 0.2), P(0.5, -0.1)).alias("geom"),
+    )
+    # r4 rounding absorbs libm-vs-JVM 1-ulp sin/cos noise (q12 pattern)
+    return way_length_m(ways).select(
+        "way_id", F.round("length_m", 4).alias("length_r4")
+    )
+
+
+def q18_ring_area_sql(spark, sf_dir):
+    """Equirectangular shoelace ring area (operators/geometry.py) vs the
+    DuckDB oracle with identical projection/op order; synthetic closed
+    quads from events."""
+    from wayproblems_spark.operators.geometry import ring_area_m2
+
+    ev = _t(spark, sf_dir, "events")
+    lat = F.lit(-50.0) + (F.col("event_id") % 100000) / 1000.0
+    lon = F.lit(-170.0) + ((F.col("event_id") * 23) % 340000) / 1000.0
+
+    def P(dlo, dla):
+        lo = lon + dlo if dlo else lon
+        la = lat + dla if dla else lat
+        return F.struct(lo.alias("lon"), la.alias("lat"))
+
+    polys = ev.select(
+        F.col("event_id").alias("poly_id"),
+        F.array(
+            P(0, 0), P(0.4, 0.05), P(0.35, 0.45), P(-0.05, 0.4), P(0, 0)
+        ).alias("ring"),
+    )
+    # the ~1e14 cross terms make a double ulp ≈ 0.02 m²: report km² at one
+    # decimal so engine libm 1-ulp noise cannot cross a rounding boundary
+    return ring_area_m2(polys).select(
+        "poly_id", F.round(F.col("area_m2") / 1000000.0, 1).alias("area_km2_r1")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full wayproblems pipeline on the deterministic fixture
     corpus (pages → extract → geoparse → resolve → 230-site rule engine)."""
@@ -802,6 +911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_knn_segments_sql": q14_knn_segments_sql,
         "q15_pip_sql": q15_pip_sql,
         "q16_components_sql": q16_components_sql,
+        "q17_way_length_sql": q17_way_length_sql,
+        "q18_ring_area_sql": q18_ring_area_sql,
         "r01_wayproblems_problems": r01_wayproblems_problems,
         "r02_wayproblems_stdout": r02_wayproblems_stdout,
         "r03_tile_counts": r03_tile_counts,
