@@ -693,6 +693,24 @@ def r14_near_dup_groups(spark, sf_dir):
     return near_dup_groups(docs.select("doc_id"), pairs)
 
 
+def r15_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (LSH self-buckets + exact verify,
+    operators/similarity.py::embedding_near_dups) — the embedding flavor
+    of the dedup family. Planted scaled copies (cosine exactly 1) of the
+    embeddings table must pair with their originals."""
+    from wayproblems_spark.operators.similarity import embedding_near_pairs
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = len(e.select("embedding").first()["embedding"])
+    dup = e.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.0001)).alias("embedding"),
+    )
+    return embedding_near_pairs(
+        e.unionByName(dup), dim, threshold=0.995, n_planes=12, n_tables=6
+    ).select("a", "b", F.round("sim", 6).alias("sim_r6"))
+
+
 def q11_tile_counts_sql(spark, sf_dir):
     """G6 tile math oracle-checked: deterministic synthetic lat/lon derived
     from event_id, slippy tile assignment at z=11 via the production
@@ -927,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r12_ann_lsh_topk": r12_ann_lsh_topk,
         "r13_ann_ivf_topk": r13_ann_ivf_topk,
         "r14_near_dup_groups": r14_near_dup_groups,
+        "r15_embedding_near_dups": r15_embedding_near_dups,
     }
 
 

@@ -264,3 +264,31 @@ def test_ivf_topk_recall_on_planted_neighbors(spark):
         corpus.repartition(13), queries, dim=dim, k=5, n_lists=8, nprobe=2, iters=4
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
+
+
+def test_embedding_near_dups_planted(spark):
+    """Planted near-identical embedding pairs must surface; unrelated
+    vectors must not; the dropped frame stays empty below the cap."""
+    import numpy as np
+
+    from wayproblems_spark.operators.similarity import embedding_near_dups
+
+    rng = np.random.RandomState(5)
+    dim = 32
+    base = rng.standard_normal((50, dim))
+    rows = []
+    for i in range(50):
+        rows.append((i, [float(x) for x in base[i]]))
+        # ids 1000+i: tiny perturbation of i → cosine ≈ 0.9999
+        rows.append(
+            (1000 + i, [float(x) for x in base[i] + 0.005 * rng.standard_normal(dim)])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = embedding_near_dups(df, dim, threshold=0.98, n_planes=10, n_tables=8)
+    pairs = {(r["a"], r["b"]) for r in out["pairs"].collect()}
+    planted = {(i, 1000 + i) for i in range(50)}
+    # LSH recall over 8 tables at cos≈0.9999 is ~1; require ≥ 90% found
+    assert len(pairs & planted) >= 45
+    # no unrelated random pair passes the 0.98 exact verify
+    assert all(b - a == 1000 for a, b in pairs)
+    assert out["dropped"].count() == 0

@@ -307,3 +307,100 @@ def ivf_topk(
     scored = cand.select(F.col(q_id_col), F.col(id_col), sim.alias("sim"))
     w = Window.partitionBy(q_id_col).orderBy(F.desc("sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate detection — the embedding flavor of the
+# dedup family (cousins: dedup.minhash_lsh / dedup.simhash_near). Same
+# bounded-bucket skew design: signature buckets carry IDS ONLY, a streaming
+# row_number cap bounds viral clusters, a `dropped` frame counts what the
+# cap cut, and vectors join back only for surviving candidate pairs.
+# ---------------------------------------------------------------------------
+
+
+from pyspark.sql.types import DoubleType
+
+
+@pandas_udf(DoubleType())
+def _pair_cosine(va: pd.Series, vb: pd.Series) -> pd.Series:
+    """Row-pairwise cosine — one einsum per Arrow batch, float64 accum."""
+    A = np.concatenate(va.to_numpy()).reshape(len(va), -1)
+    B = np.concatenate(vb.to_numpy()).reshape(len(vb), -1)
+    num = np.einsum("ij,ij->i", A, B.astype(A.dtype, copy=False), dtype=np.float64)
+    na = np.sqrt(np.einsum("ij,ij->i", A, A, dtype=np.float64))
+    nb = np.sqrt(np.einsum("ij,ij->i", B, B, dtype=np.float64))
+    den = na * nb
+    den[den == 0] = 1.0
+    return pd.Series(num / den)
+
+
+def embedding_near_dups(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 14,
+    n_tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 256,
+) -> dict:
+    """Near-duplicate pairs by embedding cosine: {"pairs": (a, b, sim) with
+    a < b and sim ≥ threshold, "dropped": (tbl, sig, bucket_n, dropped)}.
+
+    Candidates = same hyperplane-LSH signature in ≥1 of `n_tables` tables
+    (recall tunable via n_planes/n_tables — at cos ≥ 0.95 the collision
+    probability per table is (1 − θ/π)^n_planes ≈ 0.79^.. per plane);
+    exact cosine verifies every candidate. Feed `pairs` to
+    components.near_dup_groups for keeper selection."""
+    from pyspark.sql.window import Window
+
+    parts = []
+    for t in range(n_tables):
+        udf = _hyperplane_sig_udf(dim, n_planes, seed=2000 + t)
+        parts.append(
+            corpus.select(
+                F.col(id_col).alias("_id"),
+                udf(F.col(vec_col)).alias("sig"),
+                F.lit(t).alias("tbl"),
+            )
+        )
+    allb = parts[0]
+    for p in parts[1:]:
+        allb = allb.unionByName(p)
+    w = Window.partitionBy("tbl", "sig").orderBy("_id")
+    ranked = allb.withColumn("rn", F.row_number().over(w))
+    dropped = (
+        ranked.groupBy("tbl", "sig")
+        .agg(F.count("*").alias("bucket_n"))
+        .withColumn("dropped", F.greatest(F.col("bucket_n") - max_bucket, F.lit(0)))
+        .filter(F.col("dropped") > 0)
+    )
+    kept = ranked.filter(F.col("rn") <= max_bucket).select("tbl", "sig", "_id")
+    cand = (
+        kept.withColumnRenamed("_id", "a")
+        .join(kept.withColumnRenamed("_id", "b"), ["tbl", "sig"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    va = corpus.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
+    vb = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
+    pairs = (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .withColumn("sim", _pair_cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("sim") >= threshold)
+        .select("a", "b", "sim")
+    )
+    return {"pairs": pairs, "dropped": dropped}
+
+
+def embedding_near_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    **kw,
+) -> DataFrame:
+    """Pairs-only wrapper over embedding_near_dups (API parity with
+    dedup.minhash_lsh_pairs / simhash_near_pairs)."""
+    return embedding_near_dups(corpus, dim, threshold, **kw)["pairs"]
