@@ -266,6 +266,18 @@ def run_suite(spark, emit_fingerprints: bool = False) -> dict:
 
     counts["control"] = int(timed("control_arith", _control))
 
+    # memory-bandwidth control: stream the corpus text column through one
+    # codegen sum — no shuffle, no Python, no parsing. Its N→4N ratio is
+    # the SCAN/DECOMPRESS ceiling of one socket (measured ~0.86 at 2v8 vs
+    # ~0.97 for the register-only arithmetic control): byte-streaming legs
+    # (e2e parse) should be read against THIS ceiling, which a real
+    # multi-executor cluster raises linearly with nodes.
+    def _control_scan():
+        fresh = spark.read.parquet(pages_path)  # fresh relation: no stage reuse
+        return fresh.select(F.sum(F.length("text")).alias("s")).collect()[0]["s"]
+
+    counts["control_scan_bytes"] = int(timed("control_scan", _control_scan))
+
     # drop pipeline caches so the analytics legs run unpressured
     spark.catalog.clearCache()
 
@@ -466,6 +478,11 @@ def main_scaling():
             (r8["queries"]["control_arith"] / r32["queries"]["control_arith"]) / 4.0, 3
         )
         if "control_arith" in r8.get("queries", {})
+        else None,
+        "control_scan": round(
+            (r8["queries"]["control_scan"] / r32["queries"]["control_scan"]) / 4.0, 3
+        )
+        if "control_scan" in r8.get("queries", {})
         else None,
     }
     stable = r8["fingerprints"] == r32["fingerprints"]
