@@ -232,32 +232,19 @@ def _materialize_parquet(df: DataFrame, path: str, bucket_col: str | None = None
     return spark.read.parquet(path)
 
 
-def knn_nearest_way(
-    points: DataFrame,
+def build_knn_index(
     resolved_ways: DataFrame,
     level: int | None = 12,
-    coarse_level: int | None = None,
     materialize_dir: str | None = None,
-) -> DataFrame:
-    """points(point_id, lat, lon) × ways(way_id, geom) → (point_id, way_id,
-    dist_m). Exact; deterministic ties on way_id. level=None → density-
-    adaptive.
-
-    ``materialize_dir``: cluster-scale mode — the vertex frame and the
-    cell index are written as parquet (index bucketed on ``cell``) and
-    re-read, instead of ``.persist()``. On a 1000-executor run the
-    persisted frames would not fit (or survive) executor memory; the
-    materialized form is also resumable and lets the tier-1 join read a
-    pre-bucketed index side. Single-node bench keeps the persist default.
-    Results are bit-identical either way (test-asserted)."""
+):
+    """(level, verts_g, index) — the reusable static side of the kNN
+    operator: the grid-keyed vertex frame and the per-cell struct-array
+    index, persisted (or parquet-materialized). Build ONCE and pass as
+    ``prebuilt=`` to knn_nearest_way when many point batches query the
+    same way corpus (the streaming foreach-batch pattern)."""
     verts = _with_xyz(way_vertices(resolved_ways), "vlat", "vlon", "v")
     if level is None:
         level = pick_level(verts)
-    coarse_level = coarse_level if coarse_level is not None else max(level - 3, 2)
-
-    # THE shared vertex frame: grid id computed once (the only Python
-    # touch per vertex); feeds the index build twice (interior/edge split),
-    # the escalation ladder and the brute tail.
     verts_g = verts.withColumn(
         "_g", grid_udf(level)(F.col("vlat"), F.col("vlon"))
     )
@@ -271,6 +258,38 @@ def knn_nearest_way(
     else:
         verts_g = verts_g.persist()
         index = build_vertex_cell_index(verts_g, level).persist()
+    return level, verts_g, index
+
+
+def knn_nearest_way(
+    points: DataFrame,
+    resolved_ways: DataFrame | None,
+    level: int | None = 12,
+    coarse_level: int | None = None,
+    materialize_dir: str | None = None,
+    prebuilt=None,
+) -> DataFrame:
+    """points(point_id, lat, lon) × ways(way_id, geom) → (point_id, way_id,
+    dist_m). Exact; deterministic ties on way_id. level=None → density-
+    adaptive.
+
+    ``materialize_dir``: cluster-scale mode — the vertex frame and the
+    cell index are written as parquet (index bucketed on ``cell``) and
+    re-read, instead of ``.persist()``. On a 1000-executor run the
+    persisted frames would not fit (or survive) executor memory; the
+    materialized form is also resumable and lets the tier-1 join read a
+    pre-bucketed index side. Single-node bench keeps the persist default.
+    Results are bit-identical either way (test-asserted).
+
+    ``prebuilt``: a build_knn_index() result — skips the index build
+    entirely (streaming / repeated-query-batch reuse)."""
+    if prebuilt is not None:
+        level, verts_g, index = prebuilt
+    else:
+        level, verts_g, index = build_knn_index(
+            resolved_ways, level, materialize_dir
+        )
+    coarse_level = coarse_level if coarse_level is not None else max(level - 3, 2)
 
     # tier 1: single-cell equi-join against the index, explode the cell's
     # struct array AFTER the join (join output stays one row per point;
