@@ -20,8 +20,13 @@ batch formulation. Exact late-data parity would require buffering events
 until the watermark passes; this operator trades that buffering for
 O(active users) state, and states the assumption instead.
 
-Scale: state is O(active users), keyed-partitioned by user_id; each
-micro-batch touches only users with new events. Within a batch the
+Scale: durable ordinals cost durable state — after a timeout the
+(session_id, 0, last_ts) row is KEPT, so state is O(distinct users seen),
+not O(currently-active users). That is the honest price of batch-matching
+ordinals for returning users; a deployment that prefers bounded state can
+re-enable expiry (state.remove() on timeout) and accept ordinal restarts
+after idle gaps, or persist ordinal floors to an external store. Each
+micro-batch still touches only users with new events; within a batch the
 gap/ordinal computation is vectorized numpy (diff → cumsum → bincount);
 only the cross-batch stitch is scalar.
 """
