@@ -292,3 +292,34 @@ def test_embedding_near_dups_planted(spark):
     # no unrelated random pair passes the 0.98 exact verify
     assert all(b - a == 1000 for a, b in pairs)
     assert out["dropped"].count() == 0
+
+
+def test_simhash_banding_exact_at_any_radius(spark):
+    """Pigeonhole banding must have recall 1 at the requested radius —
+    including radii > 3, where the round-2 fixed 4x16 layout silently
+    missed pairs. Crafted 64-bit values at known hamming distances."""
+    import numpy as np
+
+    from wayproblems_spark.operators.dedup import simhash_band_pairs
+
+    rng = np.random.RandomState(13)
+    rows = []
+    expected = set()
+    vid = 0
+    for grp in range(30):
+        base = np.int64(rng.randint(-(2**62), 2**62))
+        d = grp % 8  # hamming distances 0..7
+        flip = np.int64(0)
+        for bit in rng.choice(64, size=d, replace=False):
+            flip ^= np.int64(1) << np.int64(int(bit))
+        a_id, b_id = vid, vid + 1
+        vid += 2
+        rows.append((a_id, int(base)))
+        rows.append((b_id, int(base ^ flip)))
+        if d <= 6:
+            expected.add((a_id, b_id, d))
+    s = spark.createDataFrame(rows, "_id long, simhash long")
+    out = simhash_band_pairs(s, max_hamming=6)["pairs"]
+    got = {(r["a"], r["b"], r["hamming"]) for r in out.collect()
+           if r["b"] - r["a"] == 1 and r["a"] % 2 == 0}
+    assert got == expected and len(expected) > 20

@@ -263,35 +263,58 @@ def simhash_near(
     max_hamming: int = 3,
     max_bucket: int = 1024,
 ) -> dict:
-    """Near-dup pairs by simhash hamming distance, banded on 16-bit chunks
-    (any pair within hamming<=3 shares at least one of 4 chunks exactly).
-    Returns ``{"pairs": DataFrame(a, b, hamming), "dropped":
+    """Near-dup pairs by simhash hamming distance — see simhash_band_pairs
+    for the banding; this wrapper computes the simhash column first."""
+    s = simhash(df, id_col, text_col).select(
+        F.col(id_col).alias("_id"), "simhash"
+    )
+    return simhash_band_pairs(s, max_hamming, max_bucket)
+
+
+def simhash_band_pairs(
+    s: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int = 1024,
+) -> dict:
+    """(_id, simhash) → ``{"pairs": DataFrame(a, b, hamming), "dropped":
     DataFrame(chunk, val, bucket_n, dropped)}``.
 
+    Banding is EXACT by pigeonhole: 64 bits split into ``max_hamming + 1``
+    near-equal chunks — a pair within the radius must agree on at least
+    one whole chunk, so candidate generation has recall 1 at any radius
+    (the round-2 fixed 4×16-bit layout silently lost recall for
+    max_hamming > 3). Wider radii mean narrower chunks and so bigger
+    buckets (~n/2^width each): the cap + ``dropped`` counter govern that
+    trade, same as before.
+
     Scale guard: a (chunk, val) bucket self-join is quadratic in bucket
-    size — at 10⁹ docs a 16-bit chunk value floods (boilerplate headers
-    hash identically) and one bucket can hold millions of rows. Buckets
-    are capped at ``max_bucket`` members with a deterministic sort-based
-    rank (streaming window, no whole-bucket buffer) and the overflow is
-    COUNTED in the ``dropped`` frame — no silent loss. Expected occupancy:
-    with uniformly distributed simhash bits, a bucket averages
-    n_docs/2^16 per chunk; real corpora skew, which is exactly what the
-    cap + counter make visible."""
+    size — at 10⁹ docs a chunk value floods (boilerplate headers hash
+    identically) and one bucket can hold millions of rows. Buckets are
+    capped at ``max_bucket`` members with a deterministic sort-based rank
+    (streaming window, no whole-bucket buffer) and the overflow is
+    COUNTED in the ``dropped`` frame — no silent loss."""
     from pyspark.sql.window import Window
 
-    s = simhash(df, id_col, text_col)
+    k = max_hamming + 1
+    if not 1 <= k <= 64:
+        raise ValueError("max_hamming must be in [0, 63]")
+    base, rem = divmod(64, k)
+    widths = [base + (1 if i < rem else 0) for i in range(k)]
+    offs = [sum(widths[:i]) for i in range(k)]
+    # width-64 mask (k=1, exact match) wraps a signed long: use all-ones
+    masks = [-1 if w == 64 else (1 << w) - 1 for w in widths]
     chunks = F.array(
         *[
             F.struct(
                 F.lit(i).alias("chunk"),
-                F.shiftrightunsigned("simhash", i * 16)
-                .bitwiseAND(F.lit(0xFFFF))
+                F.shiftrightunsigned("simhash", offs[i])
+                .bitwiseAND(F.lit(masks[i]))
                 .alias("val"),
             )
-            for i in range(4)
+            for i in range(k)
         ]
     )
-    b = s.select(F.col(id_col).alias("_id"), "simhash", F.explode(chunks).alias("c")).select(
+    b = s.select("_id", "simhash", F.explode(chunks).alias("c")).select(
         "_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val")
     )
     w = Window.partitionBy("chunk", "val").orderBy("_id")
