@@ -542,6 +542,23 @@ ORACLE = {
                  AS area_km2_r1
         FROM c GROUP BY poly_id
     """,
+    # simhash pigeonhole banding — the oracle is brute-force O(n²) hamming
+    # (banding is exact at any radius, so banded pairs == all pairs within
+    # the radius); signature arithmetic is identical overflow-free int64
+    # on both sides
+    "q19_simhash_band_sql": """
+        WITH s AS (
+          SELECT doc_id AS id,
+                 xor(xor((doc_id // 4) * 3037000493,
+                         ((doc_id // 4) % 32768) << 48),
+                     doc_id % 4) AS sig
+          FROM documents),
+        p AS (
+          SELECT l.id AS a, r.id AS b,
+                 CAST(bit_count(xor(l.sig, r.sig)) AS BIGINT) AS hamming
+          FROM s l JOIN s r ON l.id < r.id)
+        SELECT a, b, hamming FROM p WHERE hamming <= 3
+    """,
 }
 
 
@@ -898,6 +915,32 @@ def q18_ring_area_sql(spark, sf_dir):
     )
 
 
+def q19_simhash_band_sql(spark, sf_dir):
+    """Dedup-family oracle row (the family's first hash-exact check — the
+    DuckDB oracle cannot replicate xxhash64, so the signature is a
+    deterministic overflow-free polynomial of doc_id computed identically
+    on both sides): groups of 4 docs share a base signature and differ in
+    2 noise bits (hamming ≤ 2), pushed through the PRODUCTION pigeonhole
+    banding (operators/dedup.py simhash_band_pairs). Banding has recall 1
+    at any radius, so the oracle is the brute-force O(n²) hamming join —
+    the banded candidate generation + cap + dedup must reproduce it
+    exactly."""
+    from wayproblems_spark.operators.dedup import simhash_band_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    base = F.expr("doc_id DIV 4")
+    # (base*K) fills bits 0..41, (base%32768)<<48 fills bits 48..62 —
+    # all exact int64 arithmetic (no overflow → portable to DuckDB)
+    sig = (
+        (base * F.lit(3037000493))
+        .bitwiseXOR(F.shiftleft(base % F.lit(32768), 48))
+        .bitwiseXOR(F.expr("doc_id % 4"))
+    )
+    s = docs.select(F.col("doc_id").alias("_id"), sig.alias("simhash"))
+    pairs = simhash_band_pairs(s, max_hamming=3)["pairs"]
+    return pairs.select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full wayproblems pipeline on the deterministic fixture
     corpus (pages → extract → geoparse → resolve → 230-site rule engine)."""
@@ -931,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_components_sql": q16_components_sql,
         "q17_way_length_sql": q17_way_length_sql,
         "q18_ring_area_sql": q18_ring_area_sql,
+        "q19_simhash_band_sql": q19_simhash_band_sql,
         "r01_wayproblems_problems": r01_wayproblems_problems,
         "r02_wayproblems_stdout": r02_wayproblems_stdout,
         "r03_tile_counts": r03_tile_counts,

@@ -67,3 +67,18 @@ def test_near_dup_groups_keeper(spark):
     pairs = spark.createDataFrame([(1, 4), (4, 7), (2, 9)], "a long, b long")
     got = {r["doc_id"]: r["keeper_id"] for r in near_dup_groups(docs, pairs).collect()}
     assert got == {0: 0, 1: 1, 4: 1, 7: 1, 2: 2, 9: 2, 3: 3, 5: 5, 6: 6, 8: 8}
+
+
+def test_components_raises_on_nonconvergence(spark):
+    """A chain longer than max_iter rounds must raise, not silently
+    return partially-propagated labels (ADVICE r3)."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "a long, b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=3)
+    # and with enough rounds the same chain is one component
+    out = connected_components(chain, max_iter=20)
+    assert {r["component_id"] for r in out.collect()} == {0}

@@ -66,3 +66,43 @@ def test_knn_stream_matches_batch(spark, tmp_path):
         q.stop()
 
     assert got == expected and len(got) > 100
+
+
+def test_knn_stream_replay_idempotent_and_cache_bounded(spark, tmp_path):
+    """(a) Replaying a micro-batch with the same batch_id through
+    exactly_once_parquet_sink must not duplicate rows (at-least-once →
+    exactly-once in the written table); (b) per-batch internal persists
+    must be freed after the sink runs — only the shared prebuilt index
+    may stay cached across batches (ADVICE r3 leak)."""
+    from wayproblems_spark.streaming.knn_stream import (
+        exactly_once_parquet_sink,
+        knn_foreach_batch,
+    )
+
+    corpus = generate_corpus(n_pages=120, seed=22, split="unit")
+    pdf = pages_df(spark, corpus)
+    ways = ways_from_pages(pdf).drop("src_url")
+    nodes = nodes_from_pages(pdf)
+    resolved = drop_invalid_geometry(resolve_locations(ways, nodes, broadcast_nodes=True))
+    pts = nodes.select(F.col("node_id").alias("point_id"), "lat", "lon")
+
+    out = str(tmp_path / "knn_out")
+    fb = knn_foreach_batch(resolved, level=12)
+    fb.sink = exactly_once_parquet_sink(out)
+
+    batch = pts.limit(200)
+    fb(batch, 7)
+    jsc = spark.sparkContext._jsc.sc()
+    cached_after_first = jsc.getPersistentRDDs().size()
+    once = spark.read.parquet(out).drop("batch_id").collect()
+
+    # replay the SAME batch id (simulates post-failure redelivery)
+    fb(batch, 7)
+    assert jsc.getPersistentRDDs().size() == cached_after_first  # no growth
+    again = spark.read.parquet(out).drop("batch_id").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, once))
+    assert len(once) == 200
+
+    # a different batch appends its own partition
+    fb(pts.limit(250), 8)
+    assert spark.read.parquet(out).count() == 450

@@ -110,3 +110,26 @@ def test_xml_to_parquet_and_rule_engine_e2e(spark, tmp_path):
     assert any(
         r["way_id"] == 7 and "layer=abc is not integer" in r["problem"] for r in rows
     )
+
+
+def test_xml_gt_in_attribute_values(spark, tmp_path):
+    """A raw '>' (or '/>') inside a double-quoted attribute value is legal
+    XML (only '<' and '&' must be escaped); the quote-aware sweeps must
+    parse such nodes/ways instead of raising a count mismatch (ADVICE r3)."""
+    xml = tmp_path / "gt.osm.xml"
+    with open(xml, "wb") as f:
+        f.write(b'<?xml version="1.0" encoding="UTF-8"?>\n<osm version="0.6">\n')
+        # user attr with '>' BEFORE id/lat/lon — the old [^>]*? sweep
+        # stopped here and missed the id
+        f.write(b'  <node user="a>b" id="201" lat="50.5" lon="7.5" version="1"/>\n')
+        f.write(b'  <node id="202" lat="50.6" lon="7.6" version="1"/>\n')
+        # way attr value containing "/>" — the old self-closing branch
+        # truncated the element here
+        f.write(b'  <way id="9" version="1" timestamp="2020-01-01T00:00:00Z" '
+                b'changeset="1" uid="1" user="x/>y">\n')
+        f.write(b'    <nd ref="201"/>\n    <nd ref="202"/>\n')
+        f.write(b'    <tag k="highway" v="track"/>\n  </way>\n</osm>\n')
+    nodes = {r["node_id"]: (r["lat"], r["lon"]) for r in xml_nodes(spark, str(xml)).collect()}
+    assert nodes == {201: (50.5, 7.5), 202: (50.6, 7.6)}
+    ways = xml_ways(spark, str(xml)).collect()
+    assert len(ways) == 1 and ways[0]["user"] == "x/>y" and ways[0]["nodes"] == [201, 202]

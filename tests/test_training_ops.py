@@ -266,6 +266,42 @@ def test_ivf_topk_recall_on_planted_neighbors(spark):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
 
 
+def test_ivf_prebuilt_index_identical(spark, tmp_path):
+    """build_ivf_index + prebuilt= (the build-once/query-many path, incl.
+    the bucketed-parquet materialization) must return exactly what the
+    direct per-call-assignment path returns."""
+    import numpy as np
+
+    from wayproblems_spark.operators.similarity import build_ivf_index, ivf_topk
+
+    rng = np.random.default_rng(11)
+    dim = 12
+    rows = [
+        (i, [float(x) for x in rng.normal(size=dim)]) for i in range(300)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q_rows = [(i, [float(x + 0.01) for x in rows[i * 30][1]]) for i in range(8)]
+    queries = spark.createDataFrame(q_rows, "q_id long, q_vec array<double>")
+
+    direct = sorted(
+        map(tuple, ivf_topk(corpus, queries, dim=dim, k=5, n_lists=6, nprobe=2, iters=3).collect())
+    )
+    idx = build_ivf_index(corpus, dim, n_lists=6, iters=3)
+    via_prebuilt = sorted(
+        map(tuple, ivf_topk(corpus, queries, dim=dim, k=5, nprobe=2, prebuilt=idx).collect())
+    )
+    idx[1].unpersist()
+    assert via_prebuilt == direct
+
+    idx_mat = build_ivf_index(
+        corpus, dim, n_lists=6, iters=3, materialize_dir=str(tmp_path / "ivf")
+    )
+    via_mat = sorted(
+        map(tuple, ivf_topk(corpus, queries, dim=dim, k=5, nprobe=2, prebuilt=idx_mat).collect())
+    )
+    assert via_mat == direct
+
+
 def test_embedding_near_dups_planted(spark):
     """Planted near-identical embedding pairs must surface; unrelated
     vectors must not; the dropped frame stays empty below the cap."""

@@ -403,8 +403,20 @@ def covering_cells(lon0, lat0, lon1, lat1, level: int, samples: int | None = Non
     two ways (VERDICT r2 "wrong #1"): face-spanning bboxes fell back to
     corner cells only, and even same-face bboxes missed interior st extrema
     (the gnomonic projection is not monotone in lon across a face-center
-    meridian). Antimeridian-crossing bboxes (lon0 > lon1) are not supported.
+    meridian). Antimeridian-crossing bboxes are expressed as lon0 > lon1
+    (both in [-180, 180]) and are covered by splitting at ±180 into two
+    bboxes and unioning the covers (VERDICT r3 "wrong #3" — the old code
+    silently swept the wrong side of the globe for such input).
     """
+    if lon0 > lon1:
+        if not (-180.0 <= lon1 <= lon0 <= 180.0):
+            raise ValueError(
+                f"covering_cells: invalid lon range [{lon0}, {lon1}] "
+                "(expected lon0 <= lon1, or an antimeridian wrap with both in [-180, 180])"
+            )
+        east = covering_cells(lon0, lat0, 180.0, lat1, level, samples)
+        west = covering_cells(-180.0, lat0, lon1, lat1, level, samples)
+        return np.unique(np.concatenate([east, west]))
     span = max(lat1 - lat0, lon1 - lon0)
     n = 1 << level
     if samples is None:

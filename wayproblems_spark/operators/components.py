@@ -38,7 +38,12 @@ def connected_components(
 ) -> DataFrame:
     """edges(a, b) → (id, component_id) for every vertex appearing in any
     edge; component_id = the MIN vertex id of the component
-    (deterministic, partition-order independent)."""
+    (deterministic, partition-order independent).
+
+    Raises RuntimeError if the loop exits at ``max_iter`` without the
+    convergence probe seeing zero changes — hash-min needs ~diameter
+    rounds, so a chain longer than ``max_iter`` would otherwise return
+    partially-propagated (wrong) labels silently (ADVICE r3)."""
     sym = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     sym = (
         sym.unionByName(
@@ -53,6 +58,7 @@ def connected_components(
         .withColumn("label", F.col("v"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         neigh = sym.join(
             labels.withColumnRenamed("v", "dst"), "dst"
@@ -72,8 +78,16 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            "rounds (component diameter exceeds the iteration bound); "
+            "returning the partial labels would silently split components — "
+            "raise max_iter"
+        )
     return labels.select(F.col("v").alias("id"), F.col("label").alias("component_id"))
 
 

@@ -227,20 +227,34 @@ def _simhash_udf():
 
         @pandas_udf("long")
         def _sim(token_hashes: pd.Series) -> pd.Series:
-            # vectorized bit-vote over per-token xxhash64 values
-            out = np.zeros(len(token_hashes), dtype=np.uint64)
-            for idx, arr in enumerate(token_hashes):
-                if arr is None or len(arr) == 0:
-                    continue
-                h = np.asarray(arr, dtype=np.int64).view(np.uint64)
-                bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-                    np.int64
-                )
-                votes = bits.sum(axis=0) * 2 - len(h)
-                word = np.uint64(0)
-                for b in np.nonzero(votes > 0)[0]:
-                    word |= np.uint64(1) << np.uint64(b)
-                out[idx] = word
+            # batch-vectorized bit-vote over per-token xxhash64 values:
+            # all documents' hashes are flattened once, then each of the
+            # 64 bit planes is summed per-document with np.add.reduceat —
+            # no per-row Python loop (the loop below is over the 64 bit
+            # positions, not the batch), and peak extra memory is one
+            # int64 column over the flattened tokens (a full (tokens, 64)
+            # bit matrix would be 512 B/token).
+            n = len(token_hashes)
+            arrs = token_hashes.to_numpy()
+            lens = np.array(
+                [0 if a is None else len(a) for a in arrs], dtype=np.int64
+            )
+            out = np.zeros(n, dtype=np.uint64)
+            nz = lens > 0
+            if not nz.any():
+                return pd.Series(out.view(np.int64))
+            flat = np.concatenate(
+                [np.asarray(a, dtype=np.int64) for a in arrs[nz]]
+            ).view(np.uint64)
+            nzl = lens[nz]
+            starts = np.concatenate(([0], np.cumsum(nzl)[:-1]))
+            word = np.zeros(int(nz.sum()), dtype=np.uint64)
+            for b in range(64):
+                col = ((flat >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+                ones = np.add.reduceat(col, starts)
+                # majority vote: bit set iff votes = 2*ones - len > 0
+                word |= (2 * ones > nzl).astype(np.uint64) << np.uint64(b)
+            out[nz] = word
             return pd.Series(out.view(np.int64))
 
         _udf_cache["simhash"] = _sim

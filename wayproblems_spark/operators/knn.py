@@ -268,10 +268,19 @@ def knn_nearest_way(
     coarse_level: int | None = None,
     materialize_dir: str | None = None,
     prebuilt=None,
+    track_persists: list | None = None,
 ) -> DataFrame:
     """points(point_id, lat, lon) × ways(way_id, geom) → (point_id, way_id,
     dist_m). Exact; deterministic ties on way_id. level=None → density-
     adaptive.
+
+    ``track_persists``: pass a list to receive every INTERNAL frame this
+    call persists (tier-1, per-rung candidates, escapee sets — NOT the
+    shared prebuilt index); the caller unpersists them when done consuming
+    the result. Required for long-running repeated callers (the streaming
+    foreachBatch path): Spark's CacheManager holds strong references to
+    cached plans, so without it per-batch cache entries accumulate
+    unboundedly (ADVICE r3).
 
     ``materialize_dir``: cluster-scale mode — the vertex frame and the
     cell index are written as parquet (index bucketed on ``cell``) and
@@ -291,6 +300,12 @@ def knn_nearest_way(
         )
     coarse_level = coarse_level if coarse_level is not None else max(level - 3, 2)
 
+    def _persist(df):
+        df = df.persist()
+        if track_persists is not None:
+            track_persists.append(df)
+        return df
+
     # tier 1: single-cell equi-join against the index, explode the cell's
     # struct array AFTER the join (join output stays one row per point;
     # the explosion feeds straight into a map-side-partial min — all of it
@@ -305,7 +320,7 @@ def knn_nearest_way(
         F.col("px"), F.col("py"), F.col("pz"),
         F.col("v.vx"), F.col("v.vy"), F.col("v.vz"),
     )
-    t1 = (
+    t1 = _persist(
         p.join(index, "cell", "left")
         .select(
             "point_id", "lat", "lon", "px", "py", "pz", "cell",
@@ -317,7 +332,6 @@ def knn_nearest_way(
         )
         .groupBy("point_id", "lat", "lon", "px", "py", "pz", "cell")
         .agg(F.min("m").alias("best"))
-        .persist()
     )
     thr1 = _accept_chord2(level)
     # coalesce(False): a point with NO candidates has best.c2 null — it
@@ -366,7 +380,7 @@ def knn_nearest_way(
         vc = verts_g.withColumn(
             "ccell", coarse_cell_expr(F.col("_g"), level, coarse)
         )
-        tk = (
+        tk = _persist(
             vc.join(F.broadcast(e), "ccell")
             .select(
                 "point_id", "corner",
@@ -374,12 +388,11 @@ def knn_nearest_way(
             )
             .groupBy("point_id", "corner")
             .agg(F.min("m").alias("best"))
-            .persist()
         )
         thr = _accept_chord2(coarse)
         ok = tk.filter(~F.col("corner") & (F.col("best.c2") < thr))
         outs.append(out_cols(ok).select(*sel))
-        esc = esc.join(ok.select("point_id"), "point_id", "left_anti").persist()
+        esc = _persist(esc.join(ok.select("point_id"), "point_id", "left_anti"))
         if coarse <= 4:
             break
         coarse = max(coarse - 3, 4)

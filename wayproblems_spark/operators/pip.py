@@ -1,23 +1,39 @@
-"""G4 — point-in-polygon via broadcast cell-prefix join + JVM ray cast.
+"""G4 — point-in-polygon via broadcast cell-prefix join + codegen ray cast.
 
 Physical plan (SURVEY.md §2.1 G4): the polygon layer is small relative to
 the point side (admin/landuse boundaries vs billions of points), so we
 
   1. driver-side: cover each polygon's bbox with S2 cells at `level`
-     (STRtree-analog bucketing), explode to (cell, poly) pairs,
-  2. **broadcast** that bucket table and equi-join on the point's cell —
-     no shuffle of the big side, and
-  3. run the exact ray-cast test *JVM-side* with a higher-order
-     ``aggregate`` over the ring's edge list — no Python in the hot path.
+     (STRtree-analog bucketing); build TWO small broadcast tables —
+     (cell, poly_id, kind) buckets and a flat (poly_id, edge) table —
+     instead of duplicating the full ring array into every bucket row,
+  2. **broadcast**-join buckets on the point's cell — no shuffle of the
+     big side — then broadcast-join the candidate (point, poly) pairs
+     against the edge table on poly_id, and
+  3. run the exact even-odd ray cast as a *whole-stage-codegen hash
+     aggregate*: one exploded row per (point, candidate-poly, edge),
+     `sum(crossing) % 2` for parity plus `max(on_edge)` for the
+     boundary-inside tie rule. No Python and no interpreted
+     higher-order array expression in the hot path (the round-3
+     `F.aggregate` fold was the expression class measured ~10x slower
+     than codegen — VERDICT r3 "wrong #1").
+
+Because the edge join is a broadcast hash join, each candidate pair's
+edge rows stay inside the producing task, so the map-side partial
+aggregate collapses them back to ~one row per (point, poly) before the
+exchange — shuffle volume is the candidate-pair count, not the edge
+multiplicity.
 
 Tie rule: a point exactly on a polygon edge counts as INSIDE
 (FIXTURES.md §4), implemented as an explicit on-edge test with eps=1e-12
-on the cross product (degree-space).
+on the cross product (degree-space). Arithmetic (intersection-x formula,
+operand order) is unchanged from the fold version, so results are
+bit-identical (q15 oracle stays hash-exact).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .cells import covering_cells, with_cell
@@ -25,63 +41,72 @@ from .cells import covering_cells, with_cell
 EPS = 1e-12
 
 
-def polygon_cell_buckets(spark, polys: DataFrame, level: int) -> DataFrame:
-    """(cell, poly_id, kind, ring) — driver-computed covering cells.
+def _collect_polys(polys: DataFrame):
+    """[(poly_id, kind, [(lon,lat), ...], wrap)] — one driver collect,
+    reused by both broadcast tables (assumption: 10^2..10^5 polygons).
 
-    The polygon layer is collected to the driver (assumption: 10^2..10^5
-    polygons — the broadcast side); covering is vectorized numpy.
-    """
-    rows = polys.collect()
+    Antimeridian handling: a ring whose naive lon span exceeds 180° is
+    taken to cross ±180 (Fiji/Chukotka style — the alternative, a single
+    polygon genuinely wider than half the globe, is not supported); its
+    negative lons are shifted by +360 so the ring lives in continuous
+    [0, 360) space, and the wrap flag tells the ray cast to shift
+    matching points' lons the same way."""
     out = []
-    for r in rows:
+    for r in polys.collect():
         ring = [(p["lon"], p["lat"]) for p in r["ring"]]
         lons = [p[0] for p in ring]
+        wrap = (max(lons) - min(lons)) > 180.0
+        if wrap:
+            ring = [(lon + 360.0 if lon < 0 else lon, lat) for lon, lat in ring]
+        out.append((r["poly_id"], r["kind"], ring, wrap))
+    return out
+
+
+def polygon_cell_buckets(spark, polys, level: int, samples: int | None = None) -> DataFrame:
+    """(cell, poly_id, kind) — driver-computed covering cells, no ring
+    payload (rings live in the separate edge table). `polys` may be a
+    DataFrame or the pre-collected list from :func:`_collect_polys`.
+
+    `samples` tunes the cover's sample-grid density: denser sampling
+    shrinks the Lipschitz margin (fewer superset cells per polygon →
+    fewer candidate pairs downstream) at a driver-side cost of
+    O(polys · samples²) numpy work — worth it when the point side is
+    large relative to the polygon count."""
+    if isinstance(polys, DataFrame):
+        polys = _collect_polys(polys)
+    out = []
+    for poly_id, kind, ring, wrap in polys:
+        lons = [p[0] for p in ring]
         lats = [p[1] for p in ring]
-        for cell in covering_cells(min(lons), min(lats), max(lons), max(lats), level):
-            out.append((int(cell), r["poly_id"], r["kind"], ring))
-    return spark.createDataFrame(
-        out,
-        "cell long, poly_id long, kind string, ring array<struct<lon:double,lat:double>>",
-    )
+        lon0, lon1 = min(lons), max(lons)
+        if wrap:
+            # ring lons live in shifted [0, 360) space; map the bbox back
+            # to a lon0 > lon1 wrap range, which covering_cells splits at
+            # ±180 and unions
+            lon0, lon1 = lon0, lon1 - 360.0
+        for cell in covering_cells(
+            lon0, min(lats), lon1, max(lats), level, samples=samples
+        ):
+            out.append((int(cell), poly_id, kind))
+    return spark.createDataFrame(out, "cell long, poly_id long, kind string")
 
 
-def _ray_cast(px: Column, py: Column, ring: Column) -> Column:
-    """struct(inside boolean) — even-odd rule + boundary-inside.
+def polygon_edges(spark, polys) -> DataFrame:
+    """(poly_id, ax, ay, bx, by, wrap) — one row per ring edge (x=lon,
+    y=lat; antimeridian rings carry shifted [0,360) lons + wrap=true).
 
     Edges are consecutive ring vertex pairs; the ring is closed (first ==
     last) so edges = zip(ring[:-1], ring[1:]).
     """
-    n = F.size(ring)
-    a = F.slice(ring, 1, n - 1)
-    b = F.slice(ring, 2, n - 1)
-    edges = F.arrays_zip(a.alias("a"), b.alias("b"))
-
-    def step(acc, e):
-        ax, ay = e["a"]["lon"], e["a"]["lat"]
-        bx, by = e["b"]["lon"], e["b"]["lat"]
-        # crossing: edge straddles the horizontal line through py, and the
-        # intersection x is strictly right of px
-        straddles = (ay > py) != (by > py)
-        xint = (bx - ax) * (py - ay) / (by - ay) + ax
-        crossing = straddles & (px < xint)
-        # on-edge: collinear + within bbox
-        cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
-        on_edge = (
-            (F.abs(cross) < EPS)
-            & (px >= F.least(ax, bx) - EPS)
-            & (px <= F.greatest(ax, bx) + EPS)
-            & (py >= F.least(ay, by) - EPS)
-            & (py <= F.greatest(ay, by) + EPS)
-        )
-        return F.struct(
-            # boolean != is XOR (even-odd rule)
-            (acc["inside"] != F.coalesce(crossing, F.lit(False))).alias("inside"),
-            (acc["edge"] | F.coalesce(on_edge, F.lit(False))).alias("edge"),
-        )
-
-    acc0 = F.struct(F.lit(False).alias("inside"), F.lit(False).alias("edge"))
-    res = F.aggregate(edges, acc0, step)
-    return res["inside"] | res["edge"]
+    if isinstance(polys, DataFrame):
+        polys = _collect_polys(polys)
+    out = []
+    for poly_id, _kind, ring, wrap in polys:
+        for (ax, ay), (bx, by) in zip(ring[:-1], ring[1:]):
+            out.append((poly_id, ax, ay, bx, by, wrap))
+    return spark.createDataFrame(
+        out, "poly_id long, ax double, ay double, bx double, by double, wrap boolean"
+    )
 
 
 def point_in_polygon(
@@ -92,11 +117,50 @@ def point_in_polygon(
     id_col: str = "point_id",
     lat_col: str = "lat",
     lon_col: str = "lon",
+    samples: int | None = None,
 ) -> DataFrame:
     """point_id → poly_id (one row per containing polygon; points in no
     polygon are absent — left-join downstream if needed)."""
+    rows = _collect_polys(polys)
     pts = with_cell(points, lat_col, lon_col, level, out="cell")
-    buckets = polygon_cell_buckets(spark, polys, level)
-    cand = pts.join(F.broadcast(buckets), "cell")
-    hit = cand.filter(_ray_cast(F.col(lon_col), F.col(lat_col), F.col("ring")))
+    buckets = polygon_cell_buckets(spark, rows, level, samples=samples)
+    edges = polygon_edges(spark, rows)
+
+    # (point, candidate-poly) pairs: a point has exactly one cell and the
+    # bucket table has one row per (cell, poly), so pairs are unique here.
+    cand = pts.join(F.broadcast(buckets), "cell").select(
+        id_col, lat_col, lon_col, "poly_id", "kind"
+    )
+    ex = cand.join(F.broadcast(edges), "poly_id")
+
+    py = F.col(lat_col)
+    # wrap polygons carry shifted [0,360) edge lons; shift matching points'
+    # negative lons the same way. For wrap=false the value is exactly the
+    # raw lon, so non-wrap results are bit-identical.
+    px = F.when(
+        F.col("wrap") & (F.col(lon_col) < 0), F.col(lon_col) + 360.0
+    ).otherwise(F.col(lon_col))
+    ax, ay = F.col("ax"), F.col("ay")
+    bx, by = F.col("bx"), F.col("by")
+
+    # crossing: edge straddles the horizontal line through py, and the
+    # intersection x is strictly right of px
+    straddles = (ay > py) != (by > py)
+    xint = (bx - ax) * (py - ay) / (by - ay) + ax
+    crossing = straddles & (px < xint)
+    # on-edge: collinear + within bbox
+    cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+    on_edge = (
+        (F.abs(cross) < EPS)
+        & (px >= F.least(ax, bx) - EPS)
+        & (px <= F.greatest(ax, bx) + EPS)
+        & (py >= F.least(ay, by) - EPS)
+        & (py <= F.greatest(ay, by) + EPS)
+    )
+
+    agg = ex.groupBy("poly_id", id_col, "kind").agg(
+        F.sum(F.when(crossing, F.lit(1)).otherwise(F.lit(0))).alias("_xings"),
+        F.max(F.when(on_edge, F.lit(1)).otherwise(F.lit(0))).alias("_edge"),
+    )
+    hit = agg.filter((F.col("_xings") % 2 == 1) | (F.col("_edge") == 1))
     return hit.select(id_col, "poly_id", "kind")

@@ -153,7 +153,11 @@ def export_sqlite(features: DataFrame, db_path: str, batch: int = 2000) -> dict[
 
     for row in it:
         layer = row["layer"]
-        blob = spatialite_blob_linestring(parse_wkt_linestring(row["geometry"]))
+        # geometry-less frames emit NULL geometry, and a degenerate WKT can
+        # parse to zero vertices — both get a NULL GEOMETRY column, matching
+        # the prior WKT-only export (ADVICE r3)
+        coords = parse_wkt_linestring(row["geometry"]) if row["geometry"] else None
+        blob = spatialite_blob_linestring(coords) if coords else None
         buf[layer].append(tuple(row[f] for f in FIELDS) + (row["geometry"], blob))
         if len(buf[layer]) >= batch:
             flush(layer)

@@ -10,8 +10,10 @@ standard Spark pattern for that is ``foreachBatch``: the static side
 then pays only for its own points (tier-1 equi-join against the persisted
 index, escalation only for its own escapees).
 
-Delivery semantics are foreachBatch's usual at-least-once; downstream
-sinks overwrite per (batch_id) or dedup on point_id for exactly-once.
+Delivery semantics are foreachBatch's usual at-least-once at the
+boundary; :func:`exactly_once_parquet_sink` ships the idempotent
+per-batch-id dynamic-partition-overwrite pattern that upgrades a
+replayed batch to exactly-once in the written table.
 
 Scale: identical to the batch operator per micro-batch; the index is
 shared across all batches (persist single-node, ``materialize_dir=`` for
@@ -46,10 +48,43 @@ def knn_foreach_batch(
     prebuilt = build_knn_index(resolved_ways, level, materialize_dir)
 
     def fb(batch_df: DataFrame, batch_id: int) -> None:
+        # track + free the operator's per-batch internal persists once the
+        # sink has consumed the result: Spark's CacheManager holds strong
+        # references to cached plans, so in a long-running stream the
+        # entries would otherwise grow without bound, and clearCache()
+        # is not usable here — it would also drop the shared prebuilt
+        # index (ADVICE r3).
+        batch_persists: list = []
         res = knn_nearest_way(
-            batch_df, None, coarse_level=coarse_level, prebuilt=prebuilt
+            batch_df, None, coarse_level=coarse_level, prebuilt=prebuilt,
+            track_persists=batch_persists,
         )
-        fb.sink(res, batch_id)
+        try:
+            fb.sink(res, batch_id)
+        finally:
+            for df in batch_persists:
+                df.unpersist()
 
     fb.sink = lambda df, bid: None
     return fb
+
+
+def exactly_once_parquet_sink(out_dir: str) -> Callable:
+    """Idempotent per-batch parquet sink for ``fb.sink``: each micro-batch
+    writes to a ``batch_id=<n>`` partition with dynamic partition
+    overwrite, so an at-least-once REPLAY of a batch (post-failure
+    recovery re-delivers the last uncommitted batch with the same
+    batch_id) overwrites its own partition instead of appending
+    duplicates — the written table is exactly-once."""
+    from pyspark.sql import functions as F
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        (
+            df.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    return sink
