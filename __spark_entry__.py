@@ -215,6 +215,28 @@ def _pip_edges_values() -> str:
     return ",\n               ".join(rows)
 
 
+# q20: polygons WITH HOLES — (poly_id, kind, outer_ring, [hole_rings]).
+# P1: big square with a centered square hole; P2: triangle with a small
+# triangular hole near its centroid.
+_PIP_HOLED = [
+    (1, "admin",
+     [(41.0, 8.0), (49.0, 8.0), (49.0, 16.0), (41.0, 16.0), (41.0, 8.0)],
+     [[(43.5, 10.5), (46.5, 10.5), (46.5, 13.5), (43.5, 13.5), (43.5, 10.5)]]),
+    (2, "landuse",
+     [(39.0, 10.0), (47.0, 10.0), (43.0, 18.0), (39.0, 10.0)],
+     [[(41.5, 11.5), (44.0, 11.5), (42.5, 14.0), (41.5, 11.5)]]),
+]
+
+
+def _pip_holed_edges_values() -> str:
+    rows = []
+    for pid, kind, outer, holes in _PIP_HOLED:
+        for ring in [outer, *holes]:
+            for (ax, ay), (bx, by) in zip(ring[:-1], ring[1:]):
+                rows.append(f"({pid}, '{kind}', {ax!r}, {ay!r}, {bx!r}, {by!r})")
+    return ",\n               ".join(rows)
+
+
 ORACLE = {
     "q01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -541,6 +563,31 @@ ORACLE = {
                ROUND(ABS(CAST(SUM(CAST(cr AS DECIMAL(38,10))) AS DOUBLE))/2.0/1000000.0, 1)
                  AS area_km2_r1
         FROM c GROUP BY poly_id
+    """,
+    # PIP with holes — identical parity-count formulation to q15; hole
+    # edges are simply more rows in the edge relation, so a point inside a
+    # hole crosses them too and lands back on even parity
+    "q20_pip_holes_sql": f"""
+        WITH pts AS (
+          SELECT event_id AS point_id,
+                 5.0 + (event_id % 20000)/1000.0 AS py,
+                 38.0 + ((event_id*7) % 14000)/1000.0 AS px
+          FROM events),
+        edges(poly_id, kind, ax, ay, bx, by) AS (VALUES
+               {_pip_holed_edges_values()}),
+        t AS (
+          SELECT p.point_id, e.poly_id, e.kind,
+                 CASE WHEN ((e.ay > p.py) != (e.by > p.py))
+                       AND p.px < (e.bx - e.ax) * (p.py - e.ay) / (e.by - e.ay) + e.ax
+                      THEN 1 ELSE 0 END AS crossing,
+                 CASE WHEN ABS((e.bx - e.ax)*(p.py - e.ay) - (e.by - e.ay)*(p.px - e.ax)) < 1e-12
+                       AND p.px >= LEAST(e.ax, e.bx) - 1e-12 AND p.px <= GREATEST(e.ax, e.bx) + 1e-12
+                       AND p.py >= LEAST(e.ay, e.by) - 1e-12 AND p.py <= GREATEST(e.ay, e.by) + 1e-12
+                      THEN 1 ELSE 0 END AS onedge
+          FROM pts p CROSS JOIN edges e)
+        SELECT point_id, CAST(poly_id AS BIGINT) AS poly_id, kind
+        FROM t GROUP BY point_id, poly_id, kind
+        HAVING SUM(crossing) % 2 = 1 OR MAX(onedge) = 1
     """,
     # simhash pigeonhole banding — the oracle is brute-force O(n²) hamming
     # (banding is exact at any radius, so banded pairs == all pairs within
@@ -915,6 +962,30 @@ def q18_ring_area_sql(spark, sf_dir):
     )
 
 
+def q20_pip_holes_sql(spark, sf_dir):
+    """G4 point-in-polygon with HOLES oracle-checked: the production
+    operator's even-odd parity count over outer + hole edges (the hole
+    interior flips parity back to even) vs the same brute-force SQL
+    formulation with the hole edges included — exactly the q15 pairing,
+    extended to multi-ring polygons."""
+    from wayproblems_spark.operators.pip import point_in_polygon
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("event_id").alias("point_id"),
+        (F.lit(5.0) + (F.col("event_id") % 20000) / 1000.0).alias("lat"),
+        (F.lit(38.0) + ((F.col("event_id") * 7) % 14000) / 1000.0).alias("lon"),
+    )
+    polys = spark.createDataFrame(
+        [(pid, kind, outer, holes) for pid, kind, outer, holes in _PIP_HOLED],
+        "poly_id long, kind string, ring array<struct<lon:double,lat:double>>, "
+        "holes array<array<struct<lon:double,lat:double>>>",
+    )
+    return point_in_polygon(spark, pts, polys, level=9).select(
+        "point_id", "poly_id", "kind"
+    )
+
+
 def q19_simhash_band_sql(spark, sf_dir):
     """Dedup-family oracle row (the family's first hash-exact check — the
     DuckDB oracle cannot replicate xxhash64, so the signature is a
@@ -975,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_way_length_sql": q17_way_length_sql,
         "q18_ring_area_sql": q18_ring_area_sql,
         "q19_simhash_band_sql": q19_simhash_band_sql,
+        "q20_pip_holes_sql": q20_pip_holes_sql,
         "r01_wayproblems_problems": r01_wayproblems_problems,
         "r02_wayproblems_stdout": r02_wayproblems_stdout,
         "r03_tile_counts": r03_tile_counts,

@@ -251,9 +251,13 @@ def run_suite(spark, emit_fingerprints: bool = False) -> dict:
     # (1024 polys, 8192 edges) covering the corpus bbox — measures the
     # codegen ray cast (broadcast bucket join → broadcast edge join →
     # map-side-partial parity aggregate; VERDICT r3 "wrong #1" fix).
-    # Polygon construction + driver-side cell covering are inside the
-    # timed call (they are the operator's own driver-constant cost).
-    from wayproblems_spark.operators.pip import point_in_polygon
+    # The static polygon side (driver cell covers + edge table) is built
+    # ONCE via build_pip_index and timed separately as pip_build — the
+    # production shape (the layer is static, point batches stream), the
+    # same build-once split as the knn and IVF legs. Without the split
+    # the ~3.5 s parallelism-independent driver build dominated the leg's
+    # scaling ratio.
+    from wayproblems_spark.operators.pip import build_pip_index, point_in_polygon
     import math
 
     pip_polys = []
@@ -277,9 +281,15 @@ def run_suite(spark, emit_fingerprints: bool = False) -> dict:
     # level=14 + dense cover sampling: ~3.3 candidate polys/cell vs ~38 at
     # the level-11 default (the bucket table grows to 218k rows — still a
     # few-MB broadcast — but the exploded edge volume drops ~11×)
+    def _pip_build():
+        pip_holder["idx"] = build_pip_index(spark, pip_polys_df, level=14, samples=129)
+        return g * g
+
+    timed("pip_build", _pip_build)
+
     def _pip():
         pip_holder["df"] = point_in_polygon(
-            spark, pts, pip_polys_df, level=14, samples=129
+            spark, pts, None, level=14, prebuilt=pip_holder["idx"]
         )
         return pip_holder["df"].count()
 
@@ -512,6 +522,11 @@ def main_scaling():
     # 1000-executor job (thousands of JIT samples, hours of steady state)
     # actually experiences.
     n_runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2"))
+    # SPARK_GRAFT_SCALE_TAG: persist each JVM run's raw JSON under BENCH/
+    # as it completes and REUSE it on re-invocation — a multi-JVM protocol
+    # run is ~1 h wall, so a crash/timeout must not lose finished levels
+    tag = os.environ.get("SPARK_GRAFT_SCALE_TAG", "")
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     results = {}
     for cpus in levels:
         env = dict(os.environ)
@@ -541,13 +556,26 @@ def main_scaling():
             ),
         )
         runs = []
-        for _ in range(n_runs):
+        for i in range(n_runs):
+            raw = (
+                os.path.join(REPO, "BENCH", f"scaling_raw_{tag}_{cpus}_{i}.json")
+                if tag
+                else None
+            )
+            if raw and os.path.exists(raw):
+                with open(raw) as f:
+                    runs.append(json.load(f))
+                continue
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True, cwd=REPO,
             )
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-            runs.append(json.loads(line))
+            r = json.loads(line)
+            if raw:
+                with open(raw, "w") as f:
+                    json.dump(r, f)
+            runs.append(r)
         # bit-stability must hold ACROSS JVM instances too
         assert all(r["fingerprints"] == runs[0]["fingerprints"] for r in runs), (
             f"fingerprints differ across local[{cpus}] JVM instances"
@@ -594,9 +622,10 @@ def main_scaling():
     }
     stable = r8["fingerprints"] == r32["fingerprints"]
 
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     la, lb = levels[0], levels[1]
-    md = os.path.join(REPO, "BENCH", f"scaling_{la}v{lb}.md")
+    md = os.path.join(
+        REPO, "BENCH", f"scaling_{la}v{lb}{('_' + tag) if tag else ''}.md"
+    )
     with open(md, "w") as f:
         f.write("# BENCH — two-parallelism scaling run (BASELINE.md protocol)\n\n")
         f.write(f"Input: identical cached corpus ({r8['bench_pages']} pages) + {SF_DIR}.\n")

@@ -373,3 +373,50 @@ def test_pip_antimeridian_polygon_vs_oracle(spark):
     assert got == exp
     # both sides of the seam must be represented
     assert any(lo[i] > 0 for i in exp) and any(lo[i] < 0 for i in exp)
+
+
+def test_pip_polygon_with_holes(spark):
+    """An optional `holes` column must exclude hole interiors via the same
+    even-odd parity count (no special-casing); hole boundaries follow the
+    boundary-counts-as-INSIDE tie rule."""
+    outer = [(8.0, 51.0), (9.0, 51.0), (9.0, 52.0), (8.0, 52.0), (8.0, 51.0)]
+    hole = [(8.4, 51.4), (8.6, 51.4), (8.6, 51.6), (8.4, 51.6), (8.4, 51.4)]
+    polys = spark.createDataFrame(
+        [(1, "admin", outer, [hole])],
+        "poly_id long, kind string, ring array<struct<lon:double,lat:double>>, "
+        "holes array<array<struct<lon:double,lat:double>>>",
+    )
+    pts = spark.createDataFrame(
+        [
+            (1, 51.5, 8.5),    # inside the hole -> excluded
+            (2, 51.2, 8.2),    # in the annulus -> inside
+            (3, 51.5, 8.4),    # on the hole boundary -> inside (tie rule)
+            (4, 50.5, 8.5),    # outside everything
+            (5, 51.0, 8.5),    # on the outer boundary -> inside
+        ],
+        "point_id long, lat double, lon double",
+    )
+    got = {r["point_id"] for r in point_in_polygon(spark, pts, polys, level=8).collect()}
+    assert got == {2, 3, 5}
+    # and a frame WITHOUT the holes column keeps the old behavior
+    polys_nh = spark.createDataFrame(
+        [(1, "admin", outer)],
+        "poly_id long, kind string, ring array<struct<lon:double,lat:double>>",
+    )
+    got_nh = {r["point_id"] for r in point_in_polygon(spark, pts, polys_nh, level=8).collect()}
+    assert got_nh == {1, 2, 3, 5}
+
+
+def test_pip_prebuilt_index_identical(spark):
+    """build_pip_index + prebuilt= (build-once/query-many) must return
+    exactly what the per-call path returns."""
+    from wayproblems_spark.operators.pip import build_pip_index
+
+    corpus, _, nodes, polys = _corpus_frames(spark)
+    pts = nodes.select(F.col("node_id").alias("point_id"), "lat", "lon")
+    direct = sorted(map(tuple, point_in_polygon(spark, pts, polys, level=10).collect()))
+    idx = build_pip_index(spark, polys, level=10)
+    via = sorted(
+        map(tuple, point_in_polygon(spark, pts, None, level=10, prebuilt=idx).collect())
+    )
+    assert via == direct and len(direct) > 0

@@ -546,17 +546,28 @@ def knn_nearest_way_segments(
     resolved_ways: DataFrame,
     level: int | None = 12,
     coarse_level: int | None = None,
+    track_persists: list | None = None,
 ) -> DataFrame:
     """points × ways → (point_id, way_id, dist_m) where dist is to the
     nearest point ON the way's polyline (great-circle segments), exact,
-    ties on way_id. Same tier/ladder shape as the vertex variant."""
-    segs = way_segments(resolved_ways).persist()
+    ties on way_id. Same tier/ladder shape as the vertex variant.
+
+    ``track_persists``: as in :func:`knn_nearest_way` — receives every
+    frame this call persists so repeated callers can free them."""
+
+    def _persist(df):
+        df = df.persist()
+        if track_persists is not None:
+            track_persists.append(df)
+        return df
+
+    segs = _persist(way_segments(resolved_ways))
     if level is None:
         verts = way_vertices(resolved_ways)
         level = pick_level(_with_xyz(verts, "vlat", "vlon", "v"))
     coarse_level = coarse_level if coarse_level is not None else max(level - 3, 2)
 
-    index = build_segment_cell_index(segs, level).persist()
+    index = _persist(build_segment_cell_index(segs, level))
 
     p = with_grid(
         _with_xyz(points.select("point_id", "lat", "lon"), "lat", "lon", "p"),
@@ -584,7 +595,7 @@ def knn_nearest_way_segments(
             .agg(F.min("m").alias("best"))
         )
 
-    t1 = best_from(p.join(index, "cell", "left")).persist()
+    t1 = _persist(best_from(p.join(index, "cell", "left")))
     thr1 = _seg_chord2(_SEG_ACCEPT_FACTOR, level)
     accept1 = (
         F.coalesce(F.col("best.c2") < thr1, F.lit(False))
@@ -628,16 +639,15 @@ def knn_nearest_way_segments(
             _point_seg_chord2(px, py, pz).alias("c2"),
             F.col("way_id").alias("way_id"),
         )
-        tk = (
+        tk = _persist(
             ex.select("point_id", "corner", m.alias("m"))
             .groupBy("point_id", "corner")
             .agg(F.min("m").alias("best"))
-            .persist()
         )
         thr = _seg_chord2(_RUNG_SEG_FACTOR, coarse)
         ok = tk.filter(~F.col("corner") & (F.col("best.c2") < thr))
         outs.append(out_cols(ok).select(*sel))
-        esc = esc.join(ok.select("point_id"), "point_id", "left_anti").persist()
+        esc = _persist(esc.join(ok.select("point_id"), "point_id", "left_anti"))
         if coarse <= 4:
             break
         coarse = max(coarse - 3, 4)

@@ -42,23 +42,36 @@ EPS = 1e-12
 
 
 def _collect_polys(polys: DataFrame):
-    """[(poly_id, kind, [(lon,lat), ...], wrap)] — one driver collect,
-    reused by both broadcast tables (assumption: 10^2..10^5 polygons).
+    """[(poly_id, kind, [outer_ring, *hole_rings], wrap)] — one driver
+    collect, reused by both broadcast tables (assumption: 10^2..10^5
+    polygons). Rings are [(lon, lat), ...], closed (first == last).
 
-    Antimeridian handling: a ring whose naive lon span exceeds 180° is
-    taken to cross ±180 (Fiji/Chukotka style — the alternative, a single
-    polygon genuinely wider than half the globe, is not supported); its
-    negative lons are shifted by +360 so the ring lives in continuous
-    [0, 360) space, and the wrap flag tells the ray cast to shift
-    matching points' lons the same way."""
+    Holes: an optional ``holes`` column (array of rings) contributes its
+    edges to the same even-odd parity count, which excludes hole
+    interiors with no extra logic; a point exactly ON a hole boundary
+    follows the same boundary-counts-as-INSIDE tie rule as the outer
+    ring.
+
+    Antimeridian handling: a polygon whose outer ring's naive lon span
+    exceeds 180° is taken to cross ±180 (Fiji/Chukotka style — the
+    alternative, a single polygon genuinely wider than half the globe,
+    is not supported); every ring's negative lons are shifted by +360 so
+    the polygon lives in continuous [0, 360) space, and the wrap flag
+    tells the ray cast to shift matching points' lons the same way."""
+    has_holes = "holes" in polys.columns
     out = []
     for r in polys.collect():
-        ring = [(p["lon"], p["lat"]) for p in r["ring"]]
-        lons = [p[0] for p in ring]
+        rings = [[(p["lon"], p["lat"]) for p in r["ring"]]]
+        if has_holes and r["holes"]:
+            rings += [[(p["lon"], p["lat"]) for p in h] for h in r["holes"]]
+        lons = [p[0] for p in rings[0]]
         wrap = (max(lons) - min(lons)) > 180.0
         if wrap:
-            ring = [(lon + 360.0 if lon < 0 else lon, lat) for lon, lat in ring]
-        out.append((r["poly_id"], r["kind"], ring, wrap))
+            rings = [
+                [(lon + 360.0 if lon < 0 else lon, lat) for lon, lat in ring]
+                for ring in rings
+            ]
+        out.append((r["poly_id"], r["kind"], rings, wrap))
     return out
 
 
@@ -72,10 +85,18 @@ def polygon_cell_buckets(spark, polys, level: int, samples: int | None = None) -
     fewer candidate pairs downstream) at a driver-side cost of
     O(polys · samples²) numpy work — worth it when the point side is
     large relative to the polygon count."""
+    import numpy as np
+    import pandas as pd
+
     if isinstance(polys, DataFrame):
         polys = _collect_polys(polys)
-    out = []
-    for poly_id, kind, ring, wrap in polys:
+    # accumulate per-poly covers as numpy blocks and ship ONE pandas frame
+    # through Arrow — a row-tuple createDataFrame pays a py4j upload per
+    # row, which at ~10^5 bucket rows is a parallelism-independent driver
+    # constant big enough to dominate the operator at high core counts
+    cells_acc, pid_acc, kind_acc = [], [], []
+    for poly_id, kind, rings, wrap in polys:
+        ring = rings[0]  # bbox from the outer ring; holes lie inside it
         lons = [p[0] for p in ring]
         lats = [p[1] for p in ring]
         lon0, lon1 = min(lons), max(lons)
@@ -84,47 +105,74 @@ def polygon_cell_buckets(spark, polys, level: int, samples: int | None = None) -
             # to a lon0 > lon1 wrap range, which covering_cells splits at
             # ±180 and unions
             lon0, lon1 = lon0, lon1 - 360.0
-        for cell in covering_cells(
+        ids = covering_cells(
             lon0, min(lats), lon1, max(lats), level, samples=samples
-        ):
-            out.append((int(cell), poly_id, kind))
-    return spark.createDataFrame(out, "cell long, poly_id long, kind string")
+        ).astype(np.int64)
+        cells_acc.append(ids)
+        pid_acc.append(np.full(ids.size, poly_id, dtype=np.int64))
+        kind_acc.extend([kind] * ids.size)
+    pdf = pd.DataFrame(
+        {
+            "cell": np.concatenate(cells_acc) if cells_acc else np.array([], dtype=np.int64),
+            "poly_id": np.concatenate(pid_acc) if pid_acc else np.array([], dtype=np.int64),
+            "kind": pd.Series(kind_acc, dtype="object"),
+        }
+    )
+    return spark.createDataFrame(pdf, "cell long, poly_id long, kind string")
 
 
 def polygon_edges(spark, polys) -> DataFrame:
-    """(poly_id, ax, ay, bx, by, wrap) — one row per ring edge (x=lon,
-    y=lat; antimeridian rings carry shifted [0,360) lons + wrap=true).
+    """(poly_id, ax, ay, bx, by, wrap) — one row per edge of every ring
+    (outer + holes; x=lon, y=lat; antimeridian polygons carry shifted
+    [0,360) lons + wrap=true).
 
-    Edges are consecutive ring vertex pairs; the ring is closed (first ==
+    Edges are consecutive ring vertex pairs; rings are closed (first ==
     last) so edges = zip(ring[:-1], ring[1:]).
     """
     if isinstance(polys, DataFrame):
         polys = _collect_polys(polys)
     out = []
-    for poly_id, _kind, ring, wrap in polys:
-        for (ax, ay), (bx, by) in zip(ring[:-1], ring[1:]):
-            out.append((poly_id, ax, ay, bx, by, wrap))
+    for poly_id, _kind, rings, wrap in polys:
+        for ring in rings:
+            for (ax, ay), (bx, by) in zip(ring[:-1], ring[1:]):
+                out.append((poly_id, ax, ay, bx, by, wrap))
     return spark.createDataFrame(
         out, "poly_id long, ax double, ay double, bx double, by double, wrap boolean"
+    )
+
+
+def build_pip_index(spark, polys, level: int = 10, samples: int | None = None):
+    """(buckets, edges) — the reusable static side of the PIP operator
+    (driver-computed covers + flat edge table, both broadcast-sized).
+    Build ONCE and pass as ``prebuilt=`` to :func:`point_in_polygon` when
+    many point batches query the same polygon layer — the production
+    shape (the layer is static; points stream), same pattern as
+    knn.build_knn_index and similarity.build_ivf_index."""
+    rows = _collect_polys(polys) if isinstance(polys, DataFrame) else polys
+    return (
+        polygon_cell_buckets(spark, rows, level, samples=samples),
+        polygon_edges(spark, rows),
     )
 
 
 def point_in_polygon(
     spark,
     points: DataFrame,
-    polys: DataFrame,
+    polys: DataFrame | None,
     level: int = 10,
     id_col: str = "point_id",
     lat_col: str = "lat",
     lon_col: str = "lon",
     samples: int | None = None,
+    prebuilt=None,
 ) -> DataFrame:
     """point_id → poly_id (one row per containing polygon; points in no
     polygon are absent — left-join downstream if needed)."""
-    rows = _collect_polys(polys)
     pts = with_cell(points, lat_col, lon_col, level, out="cell")
-    buckets = polygon_cell_buckets(spark, rows, level, samples=samples)
-    edges = polygon_edges(spark, rows)
+    if prebuilt is not None:
+        buckets, edges = prebuilt
+    else:
+        buckets, edges = build_pip_index(spark, polys, level, samples)
 
     # (point, candidate-poly) pairs: a point has exactly one cell and the
     # bucket table has one row per (cell, poly), so pairs are unique here.
