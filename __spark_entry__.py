@@ -606,6 +606,56 @@ ORACLE = {
           FROM s l JOIN s r ON l.id < r.id)
         SELECT a, b, hamming FROM p WHERE hamming <= 3
     """,
+    # minhash LSH — the oracle is the brute-force O(n²) exact-Jaccard join
+    # over the same deterministic token sets; the production banded path
+    # must reproduce it exactly (recall verified on this fixed data: J=1
+    # pairs band by construction, J=0.818 pairs at 32×2 banding miss with
+    # probability ~4e-16 and the data is deterministic). Jaccard = exact
+    # small-int double division on both sides.
+    "q21_minhash_lsh_sql": """
+        WITH d AS (
+          SELECT doc_id AS id,
+                 CASE CAST(doc_id % 4 AS INTEGER)
+                   WHEN 2 THEN list_concat(
+                     list_transform(range(0, 18),  i -> 'w' || CAST((doc_id // 4) * 64 + i AS VARCHAR)),
+                     list_transform(range(40, 42), i -> 'w' || CAST((doc_id // 4) * 64 + i AS VARCHAR)))
+                   WHEN 3 THEN list_concat(
+                     list_transform(range(0, 10),  i -> 'w' || CAST((doc_id // 4) * 64 + i AS VARCHAR)),
+                     list_transform(range(50, 60), i -> 'w' || CAST((doc_id // 4) * 64 + i AS VARCHAR)))
+                   ELSE list_transform(range(0, 20), i -> 'w' || CAST((doc_id // 4) * 64 + i AS VARCHAR))
+                 END AS toks
+          FROM documents),
+        p AS (
+          SELECT l.id AS a, r.id AS b,
+                 CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+                   / CAST(len(l.toks) + len(r.toks)
+                          - len(list_intersect(l.toks, r.toks)) AS DOUBLE) AS jaccard
+          FROM d l JOIN d r ON l.id < r.id)
+        SELECT a, b, jaccard FROM p WHERE jaccard >= 0.8
+    """,
+    # IVF top-k at EXHAUSTIVE probing (nprobe = n_lists) — every list is
+    # probed, so the candidate set is the full corpus and the ANN result
+    # must equal brute-force exact top-k REGARDLESS of how k-means
+    # trained the lists. Oracle = the brute-force window top-k with the
+    # same f64 cosine (q07's proven list_dot_product + ROUND(4) parity)
+    # and the same (sim DESC, vec_id ASC) tie-break.
+    "q22_ivf_exhaustive_topk_sql": """
+        WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+                   FROM embeddings WHERE vec_id < 4),
+        s AS (
+          SELECT q_id, vec_id,
+                 list_dot_product(CAST(embedding AS DOUBLE[]), q_vec) /
+                   (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[]))) *
+                    sqrt(list_dot_product(q_vec, q_vec))) AS sim
+          FROM embeddings, q),
+        r AS (
+          SELECT q_id, vec_id, sim,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY sim DESC, vec_id) AS rank
+          FROM s)
+        SELECT q_id, vec_id, rank, ROUND(sim, 4) AS sim FROM r WHERE rank <= 20
+    """,
 }
 
 
@@ -1012,6 +1062,77 @@ def q19_simhash_band_sql(spark, sf_dir):
     return pairs.select("a", "b", F.col("hamming").cast("long").alias("hamming"))
 
 
+def q21_minhash_lsh_sql(spark, sf_dir):
+    """MinHash-family hash-exact oracle row (VERDICT r4 "missing #3" —
+    the last major dedup family member without a DuckDB-bit-exact check):
+    deterministic token sets built from doc_id (the q19 pattern — DuckDB
+    cannot replicate xxhash64, so the CONTENT is what both sides share)
+    are pushed through the PRODUCTION minhash path — word_shingles →
+    xxhash64 shingle hashing → `_minhash_band_buckets` exploded codegen
+    signature → band self-join → bucket cap → exact Jaccard verify — and
+    must reproduce the brute-force O(n²) Jaccard join exactly.
+
+    Construction: groups of 4 docs over group-unique token vocabularies —
+    members 0/1 identical (J=1, banded with probability 1 by identity of
+    all 64 mins), member 2 shares 18/22 tokens (J=18/22≈0.818 ≥ 0.8,
+    band-hit probability 1-(1-0.818²)³² ≈ 1-4e-16 at 32 bands × 2 rows —
+    and the data is DETERMINISTIC, so the locally-verified recall holds
+    at every re-run), member 3 shares 10/30 (J=1/3, below threshold both
+    sides). Jaccard values are exact small-integer double divisions —
+    bit-identical across Spark and DuckDB."""
+    from wayproblems_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    g = F.expr("doc_id DIV 4")
+    m = F.expr("doc_id % 4")
+
+    def tok(i):
+        return F.concat(F.lit("w"), (g * 64 + i).cast("string"))
+
+    def toks(lo, hi):  # [lo, hi) — mirrors DuckDB range(lo, hi)
+        return F.transform(F.sequence(F.lit(lo), F.lit(hi - 1)), tok)
+
+    arr = (
+        F.when(m == 2, F.concat(toks(0, 18), toks(40, 42)))
+        .when(m == 3, F.concat(toks(0, 10), toks(50, 60)))
+        .otherwise(toks(0, 20))
+    )
+    d = docs.select("doc_id", F.array_join(arr, " ").alias("text"))
+    pairs = minhash_lsh_pairs(
+        d, k=1, num_hashes=64, bands=32, jaccard_threshold=0.8
+    )
+    return pairs.select("a", "b", "jaccard")
+
+
+def q22_ivf_exhaustive_topk_sql(spark, sf_dir):
+    """ANN family's first hash-exact oracle row (the q19/q21 pattern
+    applied to similarity search): the PRODUCTION `ivf_topk` path —
+    k-means list training, corpus list assignment, per-query probe
+    explode, bucket join, re-rank, windowed top-k — run at EXHAUSTIVE
+    probing (nprobe = n_lists), where the probed lists cover the whole
+    corpus and the result provably equals brute-force exact top-k
+    independent of the trained centroids. `rerank="expr"` keeps the
+    cosine in JVM f64 (same sequential fold as DuckDB's
+    list_dot_product — the parity q07 already locks at ROUND(4));
+    tie-break (sim DESC, vec_id ASC) is deterministic both sides."""
+    from wayproblems_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    dim = 64
+    q = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    res = ivf_topk(
+        e, q, dim=dim, k=20, n_lists=8, nprobe=8, iters=3, rerank="expr"
+    )
+    return res.select(
+        "q_id",
+        "vec_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("sim", 4).alias("sim"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full wayproblems pipeline on the deterministic fixture
     corpus (pages → extract → geoparse → resolve → 230-site rule engine)."""
@@ -1047,6 +1168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_ring_area_sql": q18_ring_area_sql,
         "q19_simhash_band_sql": q19_simhash_band_sql,
         "q20_pip_holes_sql": q20_pip_holes_sql,
+        "q21_minhash_lsh_sql": q21_minhash_lsh_sql,
+        "q22_ivf_exhaustive_topk_sql": q22_ivf_exhaustive_topk_sql,
         "r01_wayproblems_problems": r01_wayproblems_problems,
         "r02_wayproblems_stdout": r02_wayproblems_stdout,
         "r03_tile_counts": r03_tile_counts,

@@ -7,6 +7,13 @@ Default mode (driver contract): run the headline queries at
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+The flat default now runs the suite in ``SPARK_GRAFT_BENCH_RUNS``
+(default 2) fresh JVMs and reports per-leg minima — the per-process-min
+protocol that made the scaling headline converge in round 4, applied to
+the round-over-round numbers too (a single JVM's JIT compile lottery
+swung identical-code legs ±20-45%). ``SPARK_GRAFT_BENCH_RUNS=1`` restores
+the one-JVM path.
+
 ``--scaling`` mode (BASELINE.md sandbox protocol): run the identical job at
 local[8] (N) and local[32] (4N) in fresh subprocesses, report throughput at
 both, scaling efficiency = (T8/T32)/4 wall-clock ratio over 4, and the
@@ -24,6 +31,12 @@ import os
 import subprocess
 import sys
 import time
+
+# module-level so pandas_udf type-hint strings (PEP 563 above) resolve in
+# this module's globals — a run_suite-local alias is invisible to
+# pyspark's infer_eval_type
+import numpy as _np
+import pandas as _pd
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
@@ -219,26 +232,61 @@ def run_suite(spark, emit_fingerprints: bool = False) -> dict:
         )
         fingerprints["tiles"] = content_fingerprint(tiles)
 
-    # kNN: warm codegen/python-workers with one untimed run, then time
-    # CACHE-FREE executions — clearCache runs inside every rep, because
-    # Spark's CacheManager matches identical logical plans and would
-    # otherwise serve rep 2 from rep 1's internal persists.
+    # kNN production split (round 5 — the same build-once/query-many
+    # split the ann and pip legs adopted, VERDICT r3 wrong #2 / r4 next
+    # #2): knn_build times build_knn_index — vertex extraction, the
+    # python grid UDF over every vertex, and the per-cell struct-array
+    # index, i.e. the Arrow/UDF-bound ONE-TIME side, which scaling runs
+    # read against the scan ceiling — while knn_assign times the
+    # RECURRING per-point-batch assignment against the prebuilt index
+    # (tier-1 equi-join + escalation ladder + brute tail, all codegen),
+    # the cost a static way corpus charges each streaming point batch.
     # SPARK_GRAFT_KNN_MATERIALIZE=1 exercises the cluster-scale bucketed-
     # parquet materialization path instead of .persist() (bit-identical;
     # test-asserted). Default stays persist — faster on one node.
+    from wayproblems_spark.operators.knn import build_knn_index
+
     knn_mat = (
         os.path.join(SCRATCH, "bench_knn_mat")
         if os.environ.get("SPARK_GRAFT_KNN_MATERIALIZE") == "1"
         else None
     )
-    knn_nearest_way(pts, knn_ways, level=None, materialize_dir=knn_mat).count()
+    knn_idx_holder: dict = {}
+
+    def _knn_build():
+        # unpersist the previous rep's index first — otherwise the
+        # CacheManager matches the identical logical plan and rep 2 reads
+        # rep 1's cache (fake warm timing), and the entries would leak
+        if "idx" in knn_idx_holder and knn_mat is None:
+            _lvl, vg, ix = knn_idx_holder["idx"]
+            vg.unpersist()
+            ix.unpersist()
+        idx = build_knn_index(knn_ways, level=None, materialize_dir=knn_mat)
+        # materialize both cached frames inside the timed build (the
+        # assignment leg must pay only for its own points)
+        n = idx[1].count() + idx[2].count()
+        knn_idx_holder["idx"] = idx
+        return n
+
+    timed("knn_build", _knn_build)
+
     knn_holder = {}
 
     def _knn():
-        spark.catalog.clearCache()
-        knn_holder["df"] = knn_nearest_way(pts, knn_ways, level=None, materialize_dir=knn_mat)
-        return knn_holder["df"].count()
+        # per-call internal persists are tracked and freed per rep — rep 2
+        # must recompute them (no CacheManager plan-match on rep 1's), but
+        # the SHARED prebuilt index stays cached: reusing it is the
+        # measured production pattern, same as the ann_ivf_topk leg
+        track: list = []
+        knn_holder["df"] = knn_nearest_way(
+            pts, None, prebuilt=knn_idx_holder["idx"], track_persists=track
+        )
+        n = knn_holder["df"].count()
+        for df in track:
+            df.unpersist()
+        return n
 
+    _knn()  # warm codegen + python workers (untimed)
     counts["knn"] = timed("knn_assign", _knn, reps=2)
     knn = knn_holder["df"]
 
@@ -257,7 +305,11 @@ def run_suite(spark, emit_fingerprints: bool = False) -> dict:
     # same build-once split as the knn and IVF legs. Without the split
     # the ~3.5 s parallelism-independent driver build dominated the leg's
     # scaling ratio.
-    from wayproblems_spark.operators.pip import build_pip_index, point_in_polygon
+    from wayproblems_spark.operators.pip import (
+        build_pip_index,
+        point_in_polygon,
+        unpersist_pip_index,
+    )
     import math
 
     pip_polys = []
@@ -281,7 +333,13 @@ def run_suite(spark, emit_fingerprints: bool = False) -> dict:
     # level=14 + dense cover sampling: ~3.3 candidate polys/cell vs ~38 at
     # the level-11 default (the bucket table grows to 218k rows — still a
     # few-MB broadcast — but the exploded edge volume drops ~11×)
+    # build_pip_index now persists+materializes both broadcast frames
+    # (VERDICT r4 "wrong #2" fix — streaming/repeat callers pay the
+    # broadcast build once); unpersist the previous rep's index first so
+    # rep 2 measures a real rebuild, not a CacheManager plan-match hit
     def _pip_build():
+        if "idx" in pip_holder:
+            unpersist_pip_index(pip_holder["idx"])
         pip_holder["idx"] = build_pip_index(spark, pip_polys_df, level=14, samples=129)
         return g * g
 
@@ -289,11 +347,12 @@ def run_suite(spark, emit_fingerprints: bool = False) -> dict:
 
     def _pip():
         pip_holder["df"] = point_in_polygon(
-            spark, pts, None, level=14, prebuilt=pip_holder["idx"]
+            spark, pts, None, prebuilt=pip_holder["idx"]
         )
         return pip_holder["df"].count()
 
     counts["pip"] = timed("pip_contains", _pip)
+    counts["pip_pts"] = n_pts
     if emit_fingerprints:
         fingerprints["pip"] = content_fingerprint(
             pip_holder["df"].select("point_id", "poly_id")
@@ -329,6 +388,50 @@ def run_suite(spark, emit_fingerprints: bool = False) -> dict:
         return fresh.select(F.sum(F.length("text")).alias("s")).collect()[0]["s"]
 
     counts["control_scan_bytes"] = int(timed("control_scan", _control_scan))
+
+    # knn-shaped mix control (VERDICT r4 missing #4): the same physical
+    # ingredient mix as the knn legs — parquet scan → Arrow pandas-UDF
+    # numpy kernel → 4× explode → shuffled min(struct) hash aggregate —
+    # but over a PERFECTLY uniform key space with no escalation ladder
+    # and no skew. Its N→4N ratio is this box's achievable ceiling for
+    # UDF+shuffle workloads (python workers, Arrow transfers and the
+    # shuffle all share one socket's memory bus in local mode); the knn
+    # legs are read against it in scaling runs.
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def _mix_kernel(lat: _pd.Series, lon: _pd.Series) -> _pd.Series:
+        p1 = _np.radians(lat.to_numpy())
+        p2 = p1 + 1.7453292519943295e-4  # +0.01 deg
+        dlam = _np.full_like(p1, 8.726646259971648e-5)  # 0.005 deg
+        a = _np.sin((p2 - p1) / 2.0) ** 2 + _np.cos(p1) * _np.cos(p2) * _np.sin(dlam) ** 2
+        return _pd.Series(2.0 * 6371008.8 * _np.arcsin(_np.sqrt(a)) + _np.abs(_np.radians(lon.to_numpy())))
+
+    def _control_mix():
+        fresh = spark.read.parquet(os.path.join(knn_in, "pts"))  # no stage reuse
+        base = fresh.select(
+            F.pmod(F.xxhash64("point_id"), F.lit(131072)).alias("k"),
+            _mix_kernel(F.col("lat"), F.col("lon")).alias("d"),
+            "point_id",
+        )
+        ex = base.select(
+            "k",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            (F.col("d") + F.lit(float(i))).alias("dd"),
+                            F.col("point_id").alias("pid"),
+                        )
+                        for i in range(4)
+                    ]
+                )
+            ).alias("c"),
+        )
+        return ex.groupBy("k").agg(F.min("c").alias("m")).count()
+
+    counts["control_mix_keys"] = timed("control_mix", _control_mix)
 
     # drop pipeline caches so the analytics legs run unpressured
     spark.catalog.clearCache()
@@ -437,7 +540,7 @@ def run_suite(spark, emit_fingerprints: bool = False) -> dict:
     # is bounded by the region footprint)
     tiles_per_sec = round(counts["tile_inputs"] / max(timings["tile_pyramid"], 1e-9), 1)
     knn_per_sec = round(counts["knn"] / max(timings["knn_assign"], 1e-9), 1)
-    pip_per_sec = round(n_pts / max(timings["pip_contains"], 1e-9), 1)
+    pip_per_sec = round(counts["pip_pts"] / max(timings["pip_contains"], 1e-9), 1)
     return {
         "metric": "bench_total_wall",
         "value": total,
@@ -454,6 +557,73 @@ def run_suite(spark, emit_fingerprints: bool = False) -> dict:
         "bench_pages": BENCH_PAGES,
         **({"fingerprints": fingerprints} if emit_fingerprints else {}),
     }
+
+
+def _merge_runs(runs: list[dict]) -> dict:
+    """Per-process-min merge (the protocol that made the scaling headline
+    converge in round 4, now also the FLAT bench default — VERDICT r4
+    "wrong #1": single-JVM round-over-round numbers are dominated by the
+    JIT compile lottery, which read a plumbing-only knn diff as +21%):
+    each leg takes its minimum across fresh-JVM runs (min-of-JVMs ×
+    min-of-reps = the code's steady-state cost, what a long-running
+    multi-executor job converges to). Counts and fingerprints must be
+    identical across JVMs — same answers, different clocks."""
+    assert all(
+        r.get("fingerprints") == runs[0].get("fingerprints") for r in runs
+    ), "fingerprints differ across JVM instances"
+    assert all(r["counts"] == runs[0]["counts"] for r in runs), (
+        "counts differ across JVM instances"
+    )
+    merged = dict(runs[0])
+    merged["queries"] = {
+        k: min(r["queries"][k] for r in runs) for k in runs[0]["queries"]
+    }
+    merged["queries_cold"] = {
+        k: min(r["queries_cold"][k] for r in runs) for k in runs[0]["queries_cold"]
+    }
+    merged["value"] = round(sum(merged["queries"].values()), 3)
+    c, q = merged["counts"], merged["queries"]
+    merged["flagged_per_sec"] = round(c["flagged"] / q["wayproblems_e2e"], 1)
+    merged["tiles_per_sec"] = round(c["tile_inputs"] / q["tile_pyramid"], 1)
+    merged["knn_per_sec"] = round(c["knn"] / q["knn_assign"], 1)
+    if "pip_contains" in q:
+        # same numerator as run_suite's per-run pip_per_sec (the staged
+        # point count, recorded in counts) — ADVICE r4: c["knn"] is a
+        # result-row count that need not equal the point count
+        merged["pip_per_sec"] = round(
+            c.get("pip_pts", c["knn"]) / q["pip_contains"], 1
+        )
+    merged["n_jvm_runs"] = len(runs)
+    return merged
+
+
+def _run_child(env: dict) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True, cwd=REPO,
+    )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"bench child failed (rc={out.returncode}):\n{out.stderr[-4000:]}"
+        )
+    return json.loads(lines[-1])
+
+
+def main_multi():
+    """Default driver entrypoint: run the suite in SPARK_GRAFT_BENCH_RUNS
+    (default 2) fresh JVMs and print the per-process-min merge as the ONE
+    JSON line. SPARK_GRAFT_BENCH_RUNS=1 restores the single-JVM path."""
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    if n_runs <= 1:
+        main_single()
+        return
+    runs = []
+    for _ in range(n_runs):
+        env = dict(os.environ)
+        env["SPARK_GRAFT_BENCH_CHILD"] = "1"
+        runs.append(_run_child(env))
+    print(json.dumps(_merge_runs(runs)))
 
 
 def main_single():
@@ -533,6 +703,9 @@ def main_scaling():
         env.update(
             SPARK_GRAFT_CPUS=cpus,
             SPARK_GRAFT_EMIT_FP="1",
+            # each subprocess IS one JVM run — don't let the child fan out
+            # into its own per-process-min children (the flat default)
+            SPARK_GRAFT_BENCH_CHILD="1",
             # 4 task waves per stage: smooths stragglers so the 4N side
             # isn't capped by the slowest single-wave task
             SPARK_GRAFT_SHUFFLE=str(int(cpus) * 4),
@@ -566,38 +739,14 @@ def main_scaling():
                 with open(raw) as f:
                     runs.append(json.load(f))
                 continue
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, cwd=REPO,
-            )
-            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-            r = json.loads(line)
+            r = _run_child(env)
             if raw:
                 with open(raw, "w") as f:
                     json.dump(r, f)
             runs.append(r)
-        # bit-stability must hold ACROSS JVM instances too
-        assert all(r["fingerprints"] == runs[0]["fingerprints"] for r in runs), (
-            f"fingerprints differ across local[{cpus}] JVM instances"
-        )
-        assert all(r["counts"] == runs[0]["counts"] for r in runs)
-        merged = dict(runs[0])
-        merged["queries"] = {
-            k: min(r["queries"][k] for r in runs) for k in runs[0]["queries"]
-        }
-        merged["queries_cold"] = {
-            k: min(r["queries_cold"][k] for r in runs)
-            for k in runs[0]["queries_cold"]
-        }
-        merged["value"] = round(sum(merged["queries"].values()), 3)
-        c, q = merged["counts"], merged["queries"]
-        merged["flagged_per_sec"] = round(c["flagged"] / q["wayproblems_e2e"], 1)
-        merged["tiles_per_sec"] = round(c["tile_inputs"] / q["tile_pyramid"], 1)
-        merged["knn_per_sec"] = round(c["knn"] / q["knn_assign"], 1)
-        if "pip_contains" in q:
-            merged["pip_per_sec"] = round(c["knn"] / q["pip_contains"], 1)
-        merged["n_jvm_runs"] = n_runs
-        results[cpus] = merged
+        # bit-stability must hold ACROSS JVM instances too (asserted
+        # inside the merge)
+        results[cpus] = _merge_runs(runs)
 
     r8, r32 = results[levels[0]], results[levels[1]]
     t8, t32 = r8["value"], r32["value"]
@@ -609,17 +758,11 @@ def main_scaling():
         if r8.get("pip_per_sec")
         else None,
         "wall": round((t8 / t32) / 4.0, 3),
-        "control_arith": round(
-            (r8["queries"]["control_arith"] / r32["queries"]["control_arith"]) / 4.0, 3
-        )
-        if "control_arith" in r8.get("queries", {})
-        else None,
-        "control_scan": round(
-            (r8["queries"]["control_scan"] / r32["queries"]["control_scan"]) / 4.0, 3
-        )
-        if "control_scan" in r8.get("queries", {})
-        else None,
     }
+    # time-ratio efficiencies for the one-time build legs + the controls
+    for leg in ("knn_build", "pip_build", "control_arith", "control_scan", "control_mix"):
+        if leg in r8.get("queries", {}) and leg in r32.get("queries", {}):
+            eff[leg] = round((r8["queries"][leg] / r32["queries"][leg]) / 4.0, 3)
     stable = r8["fingerprints"] == r32["fingerprints"]
 
     la, lb = levels[0], levels[1]
@@ -652,6 +795,30 @@ def main_scaling():
                 f"{r8['queries']['control_arith']}s | {r32['queries']['control_arith']}s | "
                 f"{eff['control_arith']} (box ceiling) |\n"
             )
+        if eff.get("control_scan") is not None:
+            f.write(
+                f"| scan control (parquet text stream, no shuffle/python) | "
+                f"{r8['queries']['control_scan']}s | {r32['queries']['control_scan']}s | "
+                f"{eff['control_scan']} (scan/decompress ceiling) |\n"
+            )
+        if eff.get("control_mix") is not None:
+            f.write(
+                f"| knn-shaped mix control (scan→pandas-UDF→explode→shuffled min-struct agg, uniform keys) | "
+                f"{r8['queries']['control_mix']}s | {r32['queries']['control_mix']}s | "
+                f"{eff['control_mix']} (UDF+shuffle ceiling — read knn against this) |\n"
+            )
+        if eff.get("knn_build") is not None:
+            f.write(
+                f"| knn_build (one-time index: vertex UDF + cell index) | "
+                f"{r8['queries']['knn_build']}s | {r32['queries']['knn_build']}s | "
+                f"{eff['knn_build']} |\n"
+            )
+        if eff.get("pip_build") is not None:
+            f.write(
+                f"| pip_build (one-time index: driver covers + broadcast persist) | "
+                f"{r8['queries']['pip_build']}s | {r32['queries']['pip_build']}s | "
+                f"{eff['pip_build']} |\n"
+            )
         f.write("\nPer-leg wall seconds (warm = steady-state min of 2 reps; cold = first\n")
         f.write("run incl. one-time codegen JIT / AQE planning, which amortizes to zero\n")
         f.write("at production scale):\n\n")
@@ -679,5 +846,7 @@ def main_scaling():
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         main_scaling()
-    else:
+    elif os.environ.get("SPARK_GRAFT_BENCH_CHILD") == "1":
         main_single()
+    else:
+        main_multi()

@@ -359,3 +359,50 @@ def test_simhash_banding_exact_at_any_radius(spark):
     got = {(r["a"], r["b"], r["hamming"]) for r in out.collect()
            if r["b"] - r["a"] == 1 and r["a"] % 2 == 0}
     assert got == expected and len(expected) > 20
+
+
+def test_simhash_rotated_tables_candidate_reduction(spark):
+    """Rotated-table banding (opt-in rotations=/width=) must cut candidate
+    volume vs pigeonhole at radius >= 4 while keeping recall 1 on the
+    planted pairs (VERDICT r4 next-round #7).
+
+    Construction: every signature shares a 13-bit zero "boilerplate"
+    region (bits 0..12) — exactly chunk 0 of the radius-4 pigeonhole
+    layout, so pigeonhole floods one bucket with ALL docs and its
+    candidate count is ~C(n,2). Rotated 8x16-bit windows each include
+    >= 3 random bits (the zero region is narrower than a window), so
+    buckets split and candidates collapse. Planted pairs differ at bits
+    {13, 20, 35, 50}: the window at cyclic offset 56 (bits 56..63, 0..7)
+    avoids all four, so recall is structural, not luck."""
+    import numpy as np
+
+    from wayproblems_spark.operators.dedup import simhash_band_pairs
+
+    rng = np.random.RandomState(31)
+    rows = []
+    expected = set()
+    n_base = 300
+    flip = np.uint64((1 << 13) | (1 << 20) | (1 << 35) | (1 << 50))
+    for i in range(n_base):
+        sig = np.uint64(rng.randint(0, 2**51)) << np.uint64(13)
+        rows.append((2 * i, int(sig.view(np.int64))))
+        if i % 10 == 0:  # plant a hamming-4 partner
+            rows.append((2 * i + 1, int((sig ^ flip).view(np.int64))))
+            expected.add((2 * i, 2 * i + 1))
+    s = spark.createDataFrame(rows, "_id long, simhash long")
+
+    pig = simhash_band_pairs(s, max_hamming=4, max_bucket=100_000)
+    rot = simhash_band_pairs(
+        s, max_hamming=4, max_bucket=100_000, rotations=8, width=16
+    )
+    got_rot = {(r["a"], r["b"]) for r in rot["pairs"].collect()}
+    assert expected <= got_rot  # recall 1 on planted pairs
+    # precision: the hamming verify runs either way
+    assert rot["pairs"].filter(F.col("hamming") > 4).count() == 0
+
+    cand_pig = pig["candidates"].count()
+    cand_rot = rot["candidates"].count()
+    # pigeonhole's flooded 13-bit chunk produces ~C(n,2) candidates;
+    # rotated windows must cut that by a large factor
+    assert cand_pig > (n_base * (n_base - 1)) // 2 * 0.9
+    assert cand_rot < cand_pig / 5

@@ -289,25 +289,66 @@ def simhash_band_pairs(
     s: DataFrame,
     max_hamming: int = 3,
     max_bucket: int = 1024,
+    rotations: int | None = None,
+    width: int = 16,
 ) -> dict:
     """(_id, simhash) → ``{"pairs": DataFrame(a, b, hamming), "dropped":
     DataFrame(chunk, val, bucket_n, dropped)}``.
 
-    Banding is EXACT by pigeonhole: 64 bits split into ``max_hamming + 1``
-    near-equal chunks — a pair within the radius must agree on at least
-    one whole chunk, so candidate generation has recall 1 at any radius
-    (the round-2 fixed 4×16-bit layout silently lost recall for
-    max_hamming > 3). Wider radii mean narrower chunks and so bigger
-    buckets (~n/2^width each): the cap + ``dropped`` counter govern that
-    trade, same as before.
+    Default banding is EXACT by pigeonhole: 64 bits split into
+    ``max_hamming + 1`` near-equal chunks — a pair within the radius must
+    agree on at least one whole chunk, so candidate generation has
+    recall 1 at any radius (the round-2 fixed 4×16-bit layout silently
+    lost recall for max_hamming > 3). Wider radii mean narrower chunks
+    and so bigger buckets (~n/2^width each): the cap + ``dropped``
+    counter govern that trade, same as before.
 
-    Scale guard: a (chunk, val) bucket self-join is quadratic in bucket
-    size — at 10⁹ docs a chunk value floods (boilerplate headers hash
-    identically) and one bucket can hold millions of rows. Buckets are
-    capped at ``max_bucket`` members with a deterministic sort-based rank
-    (streaming window, no whole-bucket buffer) and the overflow is
-    COUNTED in the ``dropped`` frame — no silent loss."""
-    from pyspark.sql.window import Window
+    ``rotations=`` opts into ROTATED-TABLE banding instead (the Manku et
+    al. WWW'07 simhash-dedup table scheme): ``rotations`` tables, table t
+    keyed by the ``width`` bits starting at cyclic offset
+    ``t * (64 // rotations)``. Buckets are ~n/2^width regardless of the
+    radius, so candidate volume stays flat where pigeonhole chunks
+    narrow and flood (radius ≥ 4 leaves ≤ 12-bit chunks — a 13-bit
+    boilerplate bit-region puts ALL docs in one bucket). RECALL CONTRACT:
+    rotated banding is NOT exact — a pair within the radius is found iff
+    at least one table's bit window avoids every differing bit (with
+    defaults: guaranteed when some cyclic gap between differing bits
+    spans a full aligned window, probable otherwise); pairs the windows
+    miss are silently absent, so keep the exact pigeonhole default when
+    completeness matters more than candidate volume. Precision is
+    unaffected (the hamming ≤ radius verify runs either way).
+
+    Scale guard (both schemes): a (chunk, val) bucket self-join is
+    quadratic in bucket size — at 10⁹ docs a chunk value floods
+    (boilerplate headers hash identically) and one bucket can hold
+    millions of rows. Buckets are capped at ``max_bucket`` members with a
+    deterministic sort-based rank (streaming window, no whole-bucket
+    buffer) and the overflow is COUNTED in the ``dropped`` frame — no
+    silent loss."""
+    if rotations is not None:
+        if not (1 <= rotations <= 64 and 1 <= width <= 63):
+            raise ValueError("rotations must be in [1, 64], width in [1, 63]")
+        step = 64 // rotations
+        mask = (1 << width) - 1
+
+        def window_key(t: int):
+            s_bits = (t * step) % 64
+            if s_bits == 0:
+                rot = F.col("simhash")
+            else:
+                # cyclic right-rotate: the window's low bit lands at bit 0
+                rot = F.shiftrightunsigned("simhash", s_bits).bitwiseOR(
+                    F.shiftleft("simhash", 64 - s_bits)
+                )
+            return rot.bitwiseAND(F.lit(mask))
+
+        chunks = F.array(
+            *[
+                F.struct(F.lit(t).alias("chunk"), window_key(t).alias("val"))
+                for t in range(rotations)
+            ]
+        )
+        return _banded_pairs(s, chunks, max_hamming, max_bucket)
 
     k = max_hamming + 1
     if not 1 <= k <= 64:
@@ -328,6 +369,16 @@ def simhash_band_pairs(
             for i in range(k)
         ]
     )
+    return _banded_pairs(s, chunks, max_hamming, max_bucket)
+
+
+def _banded_pairs(s: DataFrame, chunks, max_hamming: int, max_bucket: int) -> dict:
+    """Shared tail of both banding schemes: explode bucket keys, cap with
+    a streaming rank + count overflow, self-join within buckets, exact
+    hamming verify. ``candidates`` in the returned dict is the
+    pre-hamming-filter pair frame (lazy — only pay for it if counted),
+    for measuring a scheme's candidate volume."""
+    from pyspark.sql.window import Window
     b = s.select("_id", "simhash", F.explode(chunks).alias("c")).select(
         "_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val")
     )
@@ -344,7 +395,7 @@ def simhash_band_pairs(
     capped = ranked.filter(F.col("rn") <= max_bucket).drop("rn")
     l = capped.alias("l")
     r = capped.alias("r")
-    pairs = (
+    candidates = (
         l.join(r, ["chunk", "val"])
         .filter(F.col("l._id") < F.col("r._id"))
         .select(
@@ -355,9 +406,9 @@ def simhash_band_pairs(
             ).alias("hamming"),
         )
         .dropDuplicates(["a", "b"])
-        .filter(F.col("hamming") <= max_hamming)
     )
-    return {"pairs": pairs, "dropped": dropped}
+    pairs = candidates.filter(F.col("hamming") <= max_hamming)
+    return {"pairs": pairs, "dropped": dropped, "candidates": candidates}
 
 
 def simhash_near_pairs(

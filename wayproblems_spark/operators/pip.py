@@ -3,10 +3,17 @@
 Physical plan (SURVEY.md §2.1 G4): the polygon layer is small relative to
 the point side (admin/landuse boundaries vs billions of points), so we
 
-  1. driver-side: cover each polygon's bbox with S2 cells at `level`
+  1. cover each polygon's bbox with S2 cells at `level`
      (STRtree-analog bucketing); build TWO small broadcast tables —
      (cell, poly_id, kind) buckets and a flat (poly_id, edge) table —
-     instead of duplicating the full ring array into every bucket row,
+     instead of duplicating the full ring array into every bucket row.
+     The cover/edge extraction runs either on the driver (default —
+     right for the reference's 10^2..10^4 admin layers) or
+     executor-parallel via ``mapInPandas`` (``distributed=True`` — for
+     polygon layers past the driver's single-core budget, e.g. 10^5+
+     per-building footprints); both paths share the same per-polygon
+     numpy kernel, so the resulting tables are identical
+     (fingerprint-asserted in tests),
   2. **broadcast**-join buckets on the point's cell — no shuffle of the
      big side — then broadcast-join the candidate (point, poly) pairs
      against the edge table on poly_id, and
@@ -40,17 +47,21 @@ from .cells import covering_cells, with_cell
 
 EPS = 1e-12
 
+_BUCKET_SCHEMA = "cell long, poly_id long, kind string"
+_EDGE_SCHEMA = "poly_id long, ax double, ay double, bx double, by double, wrap boolean"
 
-def _collect_polys(polys: DataFrame):
-    """[(poly_id, kind, [outer_ring, *hole_rings], wrap)] — one driver
-    collect, reused by both broadcast tables (assumption: 10^2..10^5
-    polygons). Rings are [(lon, lat), ...], closed (first == last).
 
-    Holes: an optional ``holes`` column (array of rings) contributes its
-    edges to the same even-odd parity count, which excludes hole
-    interiors with no extra logic; a point exactly ON a hole boundary
-    follows the same boundary-counts-as-INSIDE tie rule as the outer
-    ring.
+def _normalize_rings(ring, holes):
+    """([outer_ring, *hole_rings], wrap) from raw row values — the ONE
+    per-polygon normalization kernel, shared by the driver collect and
+    the distributed mapInPandas build so both produce bit-identical
+    tables. Rings are [(lon, lat), ...], closed (first == last); `ring`
+    elements may be Rows or dicts with lon/lat keys.
+
+    Holes: hole rings contribute their edges to the same even-odd parity
+    count, which excludes hole interiors with no extra logic; a point
+    exactly ON a hole boundary follows the same boundary-counts-as-INSIDE
+    tie rule as the outer ring.
 
     Antimeridian handling: a polygon whose outer ring's naive lon span
     exceeds 180° is taken to cross ±180 (Fiji/Chukotka style — the
@@ -58,19 +69,48 @@ def _collect_polys(polys: DataFrame):
     is not supported); every ring's negative lons are shifted by +360 so
     the polygon lives in continuous [0, 360) space, and the wrap flag
     tells the ray cast to shift matching points' lons the same way."""
+    rings = [[(p["lon"], p["lat"]) for p in ring]]
+    # holes may arrive as None, a NaN placeholder (pandas null), a list of
+    # rings, or a numpy array of rings depending on the transport
+    if holes is not None and not isinstance(holes, float) and len(holes) > 0:
+        rings += [[(p["lon"], p["lat"]) for p in h] for h in holes]
+    lons = [p[0] for p in rings[0]]
+    wrap = (max(lons) - min(lons)) > 180.0
+    if wrap:
+        rings = [
+            [(lon + 360.0 if lon < 0 else lon, lat) for lon, lat in ring]
+            for ring in rings
+        ]
+    return rings, wrap
+
+
+def _poly_cover(rings, wrap, level: int, samples: int | None):
+    """int64 covering-cell ids for one normalized polygon (bbox of the
+    outer ring; holes lie inside it)."""
+    import numpy as np
+
+    ring = rings[0]
+    lons = [p[0] for p in ring]
+    lats = [p[1] for p in ring]
+    lon0, lon1 = min(lons), max(lons)
+    if wrap:
+        # ring lons live in shifted [0, 360) space; map the bbox back
+        # to a lon0 > lon1 wrap range, which covering_cells splits at
+        # ±180 and unions
+        lon0, lon1 = lon0, lon1 - 360.0
+    return covering_cells(
+        lon0, min(lats), lon1, max(lats), level, samples=samples
+    ).astype(np.int64)
+
+
+def _collect_polys(polys: DataFrame):
+    """[(poly_id, kind, [outer_ring, *hole_rings], wrap)] — one driver
+    collect, reused by both broadcast tables (assumption: 10^2..10^5
+    polygons; past that, use ``build_pip_index(distributed=True)``)."""
     has_holes = "holes" in polys.columns
     out = []
     for r in polys.collect():
-        rings = [[(p["lon"], p["lat"]) for p in r["ring"]]]
-        if has_holes and r["holes"]:
-            rings += [[(p["lon"], p["lat"]) for p in h] for h in r["holes"]]
-        lons = [p[0] for p in rings[0]]
-        wrap = (max(lons) - min(lons)) > 180.0
-        if wrap:
-            rings = [
-                [(lon + 360.0 if lon < 0 else lon, lat) for lon, lat in ring]
-                for ring in rings
-            ]
+        rings, wrap = _normalize_rings(r["ring"], r["holes"] if has_holes else None)
         out.append((r["poly_id"], r["kind"], rings, wrap))
     return out
 
@@ -96,18 +136,7 @@ def polygon_cell_buckets(spark, polys, level: int, samples: int | None = None) -
     # constant big enough to dominate the operator at high core counts
     cells_acc, pid_acc, kind_acc = [], [], []
     for poly_id, kind, rings, wrap in polys:
-        ring = rings[0]  # bbox from the outer ring; holes lie inside it
-        lons = [p[0] for p in ring]
-        lats = [p[1] for p in ring]
-        lon0, lon1 = min(lons), max(lons)
-        if wrap:
-            # ring lons live in shifted [0, 360) space; map the bbox back
-            # to a lon0 > lon1 wrap range, which covering_cells splits at
-            # ±180 and unions
-            lon0, lon1 = lon0, lon1 - 360.0
-        ids = covering_cells(
-            lon0, min(lats), lon1, max(lats), level, samples=samples
-        ).astype(np.int64)
+        ids = _poly_cover(rings, wrap, level, samples)
         cells_acc.append(ids)
         pid_acc.append(np.full(ids.size, poly_id, dtype=np.int64))
         kind_acc.extend([kind] * ids.size)
@@ -118,7 +147,7 @@ def polygon_cell_buckets(spark, polys, level: int, samples: int | None = None) -
             "kind": pd.Series(kind_acc, dtype="object"),
         }
     )
-    return spark.createDataFrame(pdf, "cell long, poly_id long, kind string")
+    return spark.createDataFrame(pdf, _BUCKET_SCHEMA)
 
 
 def polygon_edges(spark, polys) -> DataFrame:
@@ -136,23 +165,124 @@ def polygon_edges(spark, polys) -> DataFrame:
         for ring in rings:
             for (ax, ay), (bx, by) in zip(ring[:-1], ring[1:]):
                 out.append((poly_id, ax, ay, bx, by, wrap))
-    return spark.createDataFrame(
-        out, "poly_id long, ax double, ay double, bx double, by double, wrap boolean"
+    return spark.createDataFrame(out, _EDGE_SCHEMA)
+
+
+def _distributed_index_frames(spark, polys: DataFrame, level: int, samples: int | None):
+    """Executor-parallel cover/edge extraction via two ``mapInPandas``
+    passes over the polygon frame (the layer scans twice — it is the
+    small side). Each worker batch runs the SAME per-polygon kernel as
+    the driver path (:func:`_normalize_rings` / :func:`_poly_cover`), so
+    the resulting tables are identical; only where the numpy runs moves.
+    Removes the driver's O(polys · samples²) single-core bound — the
+    right shape when the polygon layer is 10^5+ rows (per-building
+    footprints), while the OUTPUT tables stay broadcast-sized."""
+    import numpy as np
+    import pandas as pd
+
+    has_holes = "holes" in polys.columns
+    cols = ["poly_id", "kind", "ring"] + (["holes"] if has_holes else [])
+    src = polys.select(*cols)
+
+    def gen_buckets(batches):
+        for pdf in batches:
+            cells_acc, pid_acc, kind_acc = [], [], []
+            for row in pdf.itertuples(index=False):
+                rings, wrap = _normalize_rings(
+                    row.ring, row.holes if has_holes else None
+                )
+                ids = _poly_cover(rings, wrap, level, samples)
+                cells_acc.append(ids)
+                pid_acc.append(np.full(ids.size, int(row.poly_id), dtype=np.int64))
+                kind_acc.extend([row.kind] * ids.size)
+            yield pd.DataFrame(
+                {
+                    "cell": np.concatenate(cells_acc)
+                    if cells_acc
+                    else np.array([], dtype=np.int64),
+                    "poly_id": np.concatenate(pid_acc)
+                    if pid_acc
+                    else np.array([], dtype=np.int64),
+                    "kind": pd.Series(kind_acc, dtype="object"),
+                }
+            )
+
+    def gen_edges(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                rings, wrap = _normalize_rings(
+                    row.ring, row.holes if has_holes else None
+                )
+                for ring in rings:
+                    for (ax, ay), (bx, by) in zip(ring[:-1], ring[1:]):
+                        out.append((int(row.poly_id), ax, ay, bx, by, wrap))
+            yield pd.DataFrame(
+                out, columns=["poly_id", "ax", "ay", "bx", "by", "wrap"]
+            ).astype(
+                {
+                    "poly_id": "int64",
+                    "ax": "float64",
+                    "ay": "float64",
+                    "bx": "float64",
+                    "by": "float64",
+                    "wrap": "bool",
+                }
+            )
+
+    return src.mapInPandas(gen_buckets, _BUCKET_SCHEMA), src.mapInPandas(
+        gen_edges, _EDGE_SCHEMA
     )
 
 
-def build_pip_index(spark, polys, level: int = 10, samples: int | None = None):
-    """(buckets, edges) — the reusable static side of the PIP operator
-    (driver-computed covers + flat edge table, both broadcast-sized).
+def build_pip_index(
+    spark,
+    polys,
+    level: int = 10,
+    samples: int | None = None,
+    distributed: bool = False,
+    persist: bool = True,
+):
+    """(level, buckets, edges) — the reusable static side of the PIP
+    operator (cell covers + flat edge table, both broadcast-sized).
     Build ONCE and pass as ``prebuilt=`` to :func:`point_in_polygon` when
     many point batches query the same polygon layer — the production
     shape (the layer is static; points stream), same pattern as
-    knn.build_knn_index and similarity.build_ivf_index."""
-    rows = _collect_polys(polys) if isinstance(polys, DataFrame) else polys
-    return (
-        polygon_cell_buckets(spark, rows, level, samples=samples),
-        polygon_edges(spark, rows),
-    )
+    knn.build_knn_index (which likewise packs its build level into the
+    returned tuple so a caller cannot query at a mismatched level) and
+    similarity.build_ivf_index.
+
+    Both frames are **persisted and materialized** here (``persist=True``)
+    so repeated / streaming callers pay the cover build and the broadcast
+    construction once, not per batch (VERDICT r4 "wrong #2": the
+    per-call re-broadcast was a ~1.3 s parallelism-independent floor on
+    the pip_contains leg). The caller owns the cache entries — call
+    ``unpersist()`` on both frames when done with the index.
+
+    ``distributed=True`` runs the per-polygon cover/edge extraction
+    executor-parallel (mapInPandas) instead of in a driver loop —
+    identical output tables, for polygon layers past ~10^5 rows."""
+    if distributed:
+        if not isinstance(polys, DataFrame):
+            raise TypeError("distributed build requires a polygon DataFrame")
+        buckets, edges = _distributed_index_frames(spark, polys, level, samples)
+    else:
+        rows = _collect_polys(polys) if isinstance(polys, DataFrame) else polys
+        buckets = polygon_cell_buckets(spark, rows, level, samples=samples)
+        edges = polygon_edges(spark, rows)
+    if persist:
+        buckets = buckets.persist()
+        edges = edges.persist()
+        buckets.count()
+        edges.count()
+    return level, buckets, edges
+
+
+def unpersist_pip_index(prebuilt) -> None:
+    """Free the cache entries of a :func:`build_pip_index` result."""
+    _level, buckets, edges = prebuilt
+    buckets.unpersist()
+    edges.unpersist()
 
 
 def point_in_polygon(
@@ -167,12 +297,27 @@ def point_in_polygon(
     prebuilt=None,
 ) -> DataFrame:
     """point_id → poly_id (one row per containing polygon; points in no
-    polygon are absent — left-join downstream if needed)."""
-    pts = with_cell(points, lat_col, lon_col, level, out="cell")
+    polygon are absent — left-join downstream if needed).
+
+    ``id_col`` must be UNIQUE per point: the parity ray cast aggregates
+    crossings by (poly_id, id, kind), so two input rows sharing an id
+    would sum their crossing counts together and a duplicated inside
+    point would silently cancel to even parity (ADVICE r4). Deduplicate
+    or synthesize a unique key upstream if the input can repeat ids.
+
+    With ``prebuilt=`` (a :func:`build_pip_index` result) the `level`
+    argument is IGNORED — point cells are assigned at the level the
+    index was built at, so a mismatched caller level cannot silently
+    empty the containment join (ADVICE r4 medium)."""
     if prebuilt is not None:
-        buckets, edges = prebuilt
+        level, buckets, edges = prebuilt
     else:
-        buckets, edges = build_pip_index(spark, polys, level, samples)
+        # one-shot path: build unpersisted — nothing outlives this call,
+        # so leaving cache entries behind would leak CacheManager refs
+        level, buckets, edges = build_pip_index(
+            spark, polys, level, samples, persist=False
+        )
+    pts = with_cell(points, lat_col, lon_col, level, out="cell")
 
     # (point, candidate-poly) pairs: a point has exactly one cell and the
     # bucket table has one row per (cell, poly), so pairs are unique here.

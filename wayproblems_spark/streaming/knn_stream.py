@@ -55,11 +55,16 @@ def knn_foreach_batch(
         # is not usable here — it would also drop the shared prebuilt
         # index (ADVICE r3).
         batch_persists: list = []
-        res = knn_nearest_way(
-            batch_df, None, coarse_level=coarse_level, prebuilt=prebuilt,
-            track_persists=batch_persists,
-        )
+        # the operator call itself sits INSIDE the try: it persists
+        # internal frames as it goes, so a mid-operator failure must
+        # still unpersist whatever was tracked before the raise —
+        # otherwise a long-running stream leaks exactly the cache
+        # entries this tracking exists to free (ADVICE r4)
         try:
+            res = knn_nearest_way(
+                batch_df, None, coarse_level=coarse_level, prebuilt=prebuilt,
+                track_persists=batch_persists,
+            )
             fb.sink(res, batch_id)
         finally:
             for df in batch_persists:
