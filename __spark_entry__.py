@@ -656,6 +656,40 @@ ORACLE = {
           FROM s)
         SELECT q_id, vec_id, rank, ROUND(sim, 4) AS sim FROM r WHERE rank <= 20
     """,
+    # Near-dup GROUPS end-to-end (q21's deterministic corpus → PRODUCTION
+    # minhash banding + Jaccard verify → PRODUCTION iterative hash-min
+    # components → keeper assignment) vs brute-force Jaccard pairs +
+    # recursive transitive closure. Docs in no pair keep themselves (the
+    # seed row x→x makes MIN(y) = x for singletons). Exact integers both
+    # sides — the dedup DECISION step's first hash-exact row.
+    "q23_near_dup_groups_sql": """
+        WITH RECURSIVE
+        d AS (
+          SELECT doc_id AS id,
+                 CASE CAST(doc_id % 4 AS INTEGER)
+                   WHEN 2 THEN list_concat(
+                     list_transform(range(0, 18),  i -> 'w' || CAST((doc_id // 4) * 64 + i AS VARCHAR)),
+                     list_transform(range(40, 42), i -> 'w' || CAST((doc_id // 4) * 64 + i AS VARCHAR)))
+                   WHEN 3 THEN list_concat(
+                     list_transform(range(0, 10),  i -> 'w' || CAST((doc_id // 4) * 64 + i AS VARCHAR)),
+                     list_transform(range(50, 60), i -> 'w' || CAST((doc_id // 4) * 64 + i AS VARCHAR)))
+                   ELSE list_transform(range(0, 20), i -> 'w' || CAST((doc_id // 4) * 64 + i AS VARCHAR))
+                 END AS toks
+          FROM documents),
+        p AS (
+          SELECT l.id AS a, r.id AS b
+          FROM d l JOIN d r ON l.id < r.id
+          WHERE CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+                  / CAST(len(l.toks) + len(r.toks)
+                         - len(list_intersect(l.toks, r.toks)) AS DOUBLE) >= 0.8),
+        sym AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+        tc(x, y) AS (
+          SELECT doc_id AS x, doc_id AS y FROM documents
+          UNION
+          SELECT tc.x, s.b AS y FROM tc JOIN sym s ON tc.y = s.a
+        )
+        SELECT x AS doc_id, MIN(y) AS keeper_id FROM tc GROUP BY x
+    """,
 }
 
 
@@ -1133,6 +1167,44 @@ def q22_ivf_exhaustive_topk_sql(spark, sf_dir):
     )
 
 
+def q23_near_dup_groups_sql(spark, sf_dir):
+    """Dedup DECISION step hash-exact oracle: the full near-dup grouping
+    pipeline — q21's deterministic token corpus through the PRODUCTION
+    `minhash_lsh_pairs` (banding + bucket cap + exact Jaccard verify)
+    then the PRODUCTION `near_dup_groups` (iterative hash-min
+    `connected_components` + keeper join) — must reproduce DuckDB's
+    brute-force Jaccard pair set closed under a recursive transitive
+    closure with MIN-reachable keeper. Components here are {4g, 4g+1,
+    4g+2} triangles (J=1 and 18/22 edges, recall 1 per q21's analysis)
+    with 4g+3 a singleton keeping itself — small diameters, but the
+    Spark side still exercises the generic iterative fixpoint, not a
+    special case."""
+    from wayproblems_spark.operators.components import near_dup_groups
+    from wayproblems_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    g = F.expr("doc_id DIV 4")
+    m = F.expr("doc_id % 4")
+
+    def tok(i):
+        return F.concat(F.lit("w"), (g * 64 + i).cast("string"))
+
+    def toks(lo, hi):
+        return F.transform(F.sequence(F.lit(lo), F.lit(hi - 1)), tok)
+
+    arr = (
+        F.when(m == 2, F.concat(toks(0, 18), toks(40, 42)))
+        .when(m == 3, F.concat(toks(0, 10), toks(50, 60)))
+        .otherwise(toks(0, 20))
+    )
+    d = docs.select("doc_id", F.array_join(arr, " ").alias("text"))
+    pairs = minhash_lsh_pairs(
+        d, k=1, num_hashes=64, bands=32, jaccard_threshold=0.8
+    )
+    groups = near_dup_groups(docs.select("doc_id"), pairs)
+    return groups.select("doc_id", "keeper_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full wayproblems pipeline on the deterministic fixture
     corpus (pages → extract → geoparse → resolve → 230-site rule engine)."""
@@ -1170,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_pip_holes_sql": q20_pip_holes_sql,
         "q21_minhash_lsh_sql": q21_minhash_lsh_sql,
         "q22_ivf_exhaustive_topk_sql": q22_ivf_exhaustive_topk_sql,
+        "q23_near_dup_groups_sql": q23_near_dup_groups_sql,
         "r01_wayproblems_problems": r01_wayproblems_problems,
         "r02_wayproblems_stdout": r02_wayproblems_stdout,
         "r03_tile_counts": r03_tile_counts,
