@@ -235,12 +235,12 @@ def run_suite(spark, emit_fingerprints: bool = False) -> dict:
     # kNN production split (round 5 — the same build-once/query-many
     # split the ann and pip legs adopted, VERDICT r3 wrong #2 / r4 next
     # #2): knn_build times build_knn_index — vertex extraction, the
-    # python grid UDF over every vertex, and the per-cell struct-array
-    # index, i.e. the Arrow/UDF-bound ONE-TIME side, which scaling runs
-    # read against the scan ceiling — while knn_assign times the
-    # RECURRING per-point-batch assignment against the prebuilt index
-    # (tier-1 equi-join + escalation ladder + brute tail, all codegen),
-    # the cost a static way corpus charges each streaming point batch.
+    # JVM grid expr over every vertex (round 5: zero Python here except
+    # the face-edge ring-wrap sliver), and the per-cell struct-array
+    # index, the ONE-TIME side — while knn_assign times the RECURRING
+    # per-point-batch assignment against the prebuilt index (tier-1
+    # equi-join + escalation ladder + brute tail, all codegen), the cost
+    # a static way corpus charges each streaming point batch.
     # SPARK_GRAFT_KNN_MATERIALIZE=1 exercises the cluster-scale bucketed-
     # parquet materialization path instead of .persist() (bit-identical;
     # test-asserted). Default stays persist — faster on one node.

@@ -297,6 +297,72 @@ def with_grid(df: DataFrame, lat_col: str, lon_col: str, level: int, out: str = 
     return df.withColumn(out, grid_udf(level)(F.col(lat_col), F.col(lon_col)))
 
 
+def grid_expr_from_xyz(x, y, z, level: int):
+    """Packed face/i/j grid id at `level` as a PURE JVM Column expression
+    over unit-sphere XYZ columns — the whole-stage-codegen twin of
+    `latlon_to_grid` for hot paths that already carry XYZ (kNN computes
+    px/py/pz once per row for the chord math; re-using them here removes
+    the per-batch Arrow/python-worker round trip that `grid_udf` charges
+    every point batch).
+
+    Everything past XYZ is comparisons, divisions, sqrt and bit shifts —
+    all correctly-rounded IEEE ops, so given BIT-IDENTICAL xyz inputs the
+    id is bit-identical to numpy's. The xyz themselves may differ from
+    numpy's `_xyz` by ~1 ulp (JVM Math.cos/sin vs libm), which can flip a
+    point sitting within ~1 ulp of a cell boundary into the adjacent cell
+    (odds ~1e-15/row). kNN's acceptance bounds carry 5% (0.95·min_edge)
+    and 3.7% (wrapped-ring 1.037·min_edge) slack — twelve orders of
+    magnitude above ulp scale — so candidate sets stay sound and the
+    argmin result is unchanged. The canonical cross-engine encoder (the
+    one the q13 DuckDB oracle locks) remains `latlon_to_grid`/`grid_udf`.
+    """
+    ax, ay, az = F.abs(x), F.abs(y), F.abs(z)
+    f0 = (
+        F.when(ax >= F.greatest(ay, az), F.lit(0))
+        .when(ay >= az, F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    comp = F.when(f0 == 0, x).when(f0 == 1, y).otherwise(z)
+    face = F.when(comp < 0, f0 + 3).otherwise(f0)
+    # per-face (u, v) — same table as _face_uv
+    u = (
+        F.when(face == 0, y / x)
+        .when(face == 1, -x / y)
+        .when(face == 2, -x / z)
+        .when(face == 3, z / x)
+        .when(face == 4, z / y)
+        .otherwise(-y / z)
+    )
+    v = (
+        F.when(face == 0, z / x)
+        .when(face == 1, z / y)
+        .when(face == 2, -y / z)
+        .when(face == 3, y / x)
+        .when(face == 4, -x / y)
+        .otherwise(-x / z)
+    )
+
+    def _st(c):  # quadratic UV→ST (same branches as _uv_to_st)
+        return F.when(c >= 0, 0.5 * F.sqrt(1.0 + 3.0 * c)).otherwise(
+            1.0 - 0.5 * F.sqrt(1.0 - 3.0 * c)
+        )
+
+    lim = F.lit((1 << MAX_LEVEL) - 1).cast("long")
+
+    def _ij(s):  # ⌊2^30·s⌋ clamped — double→long cast truncates like astype
+        raw = (s * F.lit(float(1 << MAX_LEVEL))).cast("long")
+        return F.greatest(F.lit(0).cast("long"), F.least(raw, lim))
+
+    shift = MAX_LEVEL - level
+    gi = F.shiftright(_ij(_st(u)), shift)
+    gj = F.shiftright(_ij(_st(v)), shift)
+    return (
+        F.shiftleft(face.cast("long"), 58)
+        .bitwiseOR(F.shiftleft(gi, 29))
+        .bitwiseOR(gj)
+    )
+
+
 def neighbor_grid_ids(gid, level: int):
     """array<long> of the 3×3 same-face neighborhood — pure JVM bit
     arithmetic over the packed grid id (clamped at face edges)."""

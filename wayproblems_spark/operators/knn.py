@@ -5,8 +5,10 @@ distance to any of the way's vertices, tie-broken by smallest way_id —
 a total order, so results are identical regardless of cluster size or
 partitioning (the north_rule bit-stability clause).
 
-Physical plan (one vertex-side index, no candidate-row explosion, Python
-touches each big row exactly ONCE — the grid encode):
+Physical plan (one vertex-side index, no candidate-row explosion, ZERO
+Python on any big row — both the vertex and the point grid encodes are
+pure-JVM expressions over unit-sphere XYZ; numpy survives only in the
+face-edge ring-wrap sliver and the tiny escapee ring expansion):
 
   index:  each way vertex registers into its own grid cell AND every
           touching cell (wrapped 3×3 ring, CROSS-FACE CORRECT). Interior
@@ -32,15 +34,18 @@ touches each big row exactly ONCE — the grid encode):
           coarser level (UDF wrap only on this small side), against the
           CACHED vertex frame re-keyed to coarse cells by JVM bit shifts —
           map-side hash join, no second vertex-side Python pass — then one
-          tiny per-point min. Rung radius grows 8× per step (d=3), so
-          populations collapse geometrically; cheap existence probes on
-          the persisted rungs short-circuit the whole ladder in the common
-          all-accepted case.
-  brute:  the remainder is broadcast against the vertex set
-          (BroadcastNestedLoopJoin) — exact by construction, and bounded:
-          the stream side is one cached vertex scan, the broadcast side is
-          only points with nothing within ~0.95·min_edge(4) ≈ 350 km
-          (open-ocean isolation) or cube-corner stragglers.
+          tiny per-point min. The FIRST rung is d=1: escapees
+          overwhelmingly just miss the tight tier-1 bound (measured
+          108,977/109,019 on the bench corpus), and its ring has 16×
+          fewer sub-cells than a d=3 jump; later rungs grow the radius 8×
+          per step so isolated points converge in O(log) rungs. Every
+          rung's accepted best is the global argmin (the ring-bound proof
+          is per-rung), so the ladder shape never changes results.
+  brute:  once the surviving population drops below _BRUTE_CUTOVER (or
+          the ladder exhausts), the remainder is broadcast against the
+          vertex set (BroadcastNestedLoopJoin) — exact by construction,
+          and bounded: the stream side is one cached vertex scan, the
+          broadcast side is a few hundred points at most.
 
 Distances: trig-free squared 3D chord per candidate (strictly monotonic in
 great-circle distance), converted to haversine meters only for each point's
@@ -58,7 +63,11 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .cells import grid_udf, neighbor_grid_ids, ring_grid_udf, with_grid
+from .cells import (
+    grid_expr_from_xyz,
+    neighbor_grid_ids,
+    ring_grid_udf,
+)
 
 EARTH_RADIUS_M = 6371008.8
 
@@ -70,6 +79,14 @@ _MIN_EDGE_RAD = 2.0 * math.sqrt(2.0) / 3.0
 _ACCEPT_FACTOR = 0.95
 
 _GJ_MASK = (1 << 29) - 1
+
+# Ladder → brute-tail cutover population: below this many escapees the
+# one-shot broadcast-NL tail (n_esc × n_verts chord evals, ≤ ~200 × a few
+# million ≈ low hundreds of millions — sub-second-to-seconds at any core
+# count) undercuts even ONE more rung, whose cost floor is a full cached-
+# vertex re-key scan + join probe regardless of escapee count. Purely a
+# physical-plan switch: both paths are exact, results identical.
+_BRUTE_CUTOVER = 200
 
 
 def cell_min_edge_m(level: int) -> float:
@@ -245,8 +262,12 @@ def build_knn_index(
     verts = _with_xyz(way_vertices(resolved_ways), "vlat", "vlon", "v")
     if level is None:
         level = pick_level(verts)
+    # JVM grid expr from the already-computed vertex xyz — the index build
+    # runs zero Python except the face-edge ring-wrap sliver (same encoder
+    # as the point side, so both halves of the tier-1 equi-join agree by
+    # construction; see grid_expr_from_xyz's ulp note)
     verts_g = verts.withColumn(
-        "_g", grid_udf(level)(F.col("vlat"), F.col("vlon"))
+        "_g", grid_expr_from_xyz(F.col("vx"), F.col("vy"), F.col("vz"), level)
     )
     if materialize_dir:
         verts_g = _materialize_parquet(verts_g, f"{materialize_dir}/verts_g")
@@ -311,26 +332,38 @@ def knn_nearest_way(
     # the explosion feeds straight into a map-side-partial min — all of it
     # whole-stage codegen; higher-order array functions are interpreted in
     # Spark and benchmarked 10× slower here), then min(struct(c2, way_id))
-    # grouped by the point's carried columns.
-    p = with_grid(
-        _with_xyz(points.select("point_id", "lat", "lon"), "lat", "lon", "p"),
-        "lat", "lon", level, out="cell",
+    # grouped by the point's carried columns. The point's cell comes from
+    # grid_expr_from_xyz over the already-computed px/py/pz — pure JVM, so
+    # the RECURRING assign path runs zero Python (the numpy ring UDF below
+    # touches only the ~3% escapee slice); measured, this lifts the leg's
+    # scaling ceiling from the UDF-mix control to the codegen controls.
+    p_base = _with_xyz(points.select("point_id", "lat", "lon"), "lat", "lon", "p")
+    p = p_base.withColumn(
+        "cell", grid_expr_from_xyz(F.col("px"), F.col("py"), F.col("pz"), level)
     )
     c2v = _chord2(
         F.col("px"), F.col("py"), F.col("pz"),
         F.col("v.vx"), F.col("v.vy"), F.col("v.vz"),
     )
+    # NARROW aggregate + cache: group by (point_id, cell) only — point_id
+    # is unique per point (documented input contract), so the extra carried
+    # columns the agg used to group by were pure key-width overhead, and
+    # dropping them shrinks the cached tier-1 frame from 7 columns + struct
+    # to 3 (measured: the wide frame's columnar-cache build cost ~4× the
+    # agg's own compute). The escapee slice re-acquires lat/lon/xyz below
+    # via a broadcast join back to the points frame — one extra cheap scan
+    # charged only to the ~3% slice.
     t1 = _persist(
         p.join(index, "cell", "left")
         .select(
-            "point_id", "lat", "lon", "px", "py", "pz", "cell",
+            "point_id", "cell", "px", "py", "pz",
             F.explode_outer("vs").alias("v"),
         )
         .select(
-            "point_id", "lat", "lon", "px", "py", "pz", "cell",
+            "point_id", "cell",
             F.struct(c2v.alias("c2"), F.col("v.way_id").alias("way_id")).alias("m"),
         )
-        .groupBy("point_id", "lat", "lon", "px", "py", "pz", "cell")
+        .groupBy("point_id", "cell")
         .agg(F.min("m").alias("best"))
     )
     thr1 = _accept_chord2(level)
@@ -350,24 +383,48 @@ def knn_nearest_way(
     sel = ("point_id", "way_id", "dist_m")
     outs = [ok1.select(*sel)]
     esc_cols = ("point_id", "lat", "lon", "px", "py", "pz", "cell")
-    esc = t1.filter(~accept1).select(*esc_cols)
+    esc = _persist(
+        F.broadcast(t1.filter(~accept1).select("point_id", "cell"))
+        .join(p_base, "point_id")
+        .select(*esc_cols)
+    )
 
     # escalation ladder: broadcast the (small) escalated point set,
     # ring-expanded at a coarser level (UDF wrap only on this small side),
     # against the CACHED vertex frame re-keyed by JVM bit shifts — no
-    # second vertex-side Python pass. Each rung's acceptance radius grows
-    # 8× (d=3), so populations collapse geometrically; cheap existence
-    # probes on the persisted rungs short-circuit the whole ladder in the
-    # common all-accepted case. Candidate pairs flow through codegen into
-    # a map-side-partial min — no arrays, no interpretation.
+    # second vertex-side Python pass. The FIRST rung is d=1 (level-1):
+    # escapees overwhelmingly just miss the tight tier-1 bound rather than
+    # sit in empty space (measured 108,977/109,019 on the bench corpus),
+    # and the d=1 ring has 16× fewer sub-cells than a d=3 jump — 11M
+    # candidate pairs vs 183M, collapsing the dominant rung's cost. The
+    # remaining rungs grow the radius 8× per step (d=3) as before, so
+    # genuinely isolated points still converge in O(log) rungs; cheap
+    # existence probes on the persisted rungs short-circuit the ladder.
+    # Every rung's accepted best is the GLOBAL argmin (the ring bound
+    # proof is per-rung), so the ladder shape never changes results.
     c2r = _chord2(
         F.col("px"), F.col("py"), F.col("pz"),
         F.col("vx"), F.col("vy"), F.col("vz"),
     )
-    coarse = coarse_level
+    rungs = []
+    if level - 1 > coarse_level and level - 1 >= 2:
+        rungs.append(level - 1)
+    c = coarse_level
     while True:
-        if esc.limit(1).count() == 0:
+        rungs.append(c)
+        if c <= 4:
+            break
+        c = max(c - 3, 4)
+    n_esc = esc.count()
+    for coarse in rungs:
+        if n_esc == 0:
             return _union_all(outs)
+        if n_esc <= _BRUTE_CUTOVER:
+            # a rung costs a full cached-vertex re-key scan + probe join
+            # (~O(n_verts) floor) no matter how few escapees remain; once
+            # the population is this small the one-shot brute tail is
+            # cheaper than ANY further rung — skip the rest of the ladder
+            break
         e = esc.select(
             "point_id", "px", "py", "pz",
             is_corner_cell(
@@ -392,14 +449,17 @@ def knn_nearest_way(
         thr = _accept_chord2(coarse)
         ok = tk.filter(~F.col("corner") & (F.col("best.c2") < thr))
         outs.append(out_cols(ok).select(*sel))
-        esc = _persist(esc.join(ok.select("point_id"), "point_id", "left_anti"))
-        if coarse <= 4:
-            break
-        coarse = max(coarse - 3, 4)
+        # the accepted-id side is ≤ the escapee count (tiny) — broadcast it
+        # so the per-rung anti-join never shuffles the escapee frame
+        esc = _persist(
+            esc.join(F.broadcast(ok.select("point_id")), "point_id", "left_anti")
+        )
+        n_esc = esc.count()
 
-    # brute tail: nothing within ~0.95·min_edge(4) ≈ 350 km (open ocean) or
-    # a cube-corner straggler — broadcast NL join over the cached vertices
-    if esc.limit(1).count() == 0:
+    # brute tail: the early-cutover remainder, or nothing within
+    # ~0.95·min_edge(4) ≈ 350 km (open ocean) / a cube-corner straggler —
+    # broadcast NL join over the cached vertices
+    if n_esc == 0:
         return _union_all(outs)
     c2 = _chord2(
         F.col("px"), F.col("py"), F.col("pz"),
@@ -569,19 +629,23 @@ def knn_nearest_way_segments(
 
     index = _persist(build_segment_cell_index(segs, level))
 
-    p = with_grid(
-        _with_xyz(points.select("point_id", "lat", "lon"), "lat", "lon", "p"),
-        "lat", "lon", level, out="cell",
+    # same hot-path shape as the vertex variant: JVM grid expr for the
+    # point cell (zero Python on the recurring path), NARROW (point_id,
+    # cell) agg keys + cache, broadcast re-enrichment of the escapee
+    # slice, d=1 first rung, broadcast anti-joins, early brute cutover.
+    p_base = _with_xyz(points.select("point_id", "lat", "lon"), "lat", "lon", "p")
+    p = p_base.withColumn(
+        "cell", grid_expr_from_xyz(F.col("px"), F.col("py"), F.col("pz"), level)
     )
     seg_cols = ("ax", "ay", "az", "bx", "by", "bz")
     px, py, pz = F.col("px"), F.col("py"), F.col("pz")
 
     def best_from(joined):
         ex = joined.select(
-            "point_id", "lat", "lon", "px", "py", "pz", "cell",
+            "point_id", "px", "py", "pz", "cell",
             F.explode_outer("vs").alias("v"),
         ).select(
-            "point_id", "lat", "lon", "px", "py", "pz", "cell",
+            "point_id", "px", "py", "pz", "cell",
             *[F.col(f"v.{c}").alias(c) for c in seg_cols],
             F.col("v.way_id").alias("way_id"),
         )
@@ -590,8 +654,8 @@ def knn_nearest_way_segments(
             F.col("way_id").alias("way_id"),
         )
         return (
-            ex.select("point_id", "lat", "lon", "px", "py", "pz", "cell", m.alias("m"))
-            .groupBy("point_id", "lat", "lon", "px", "py", "pz", "cell")
+            ex.select("point_id", "cell", m.alias("m"))
+            .groupBy("point_id", "cell")
             .agg(F.min("m").alias("best"))
         )
 
@@ -608,14 +672,27 @@ def knn_nearest_way_segments(
     )
     sel = ("point_id", "way_id", "dist_m")
     outs = [out_cols(t1.filter(accept1)).select(*sel)]
-    esc = t1.filter(~accept1).select(
-        "point_id", "lat", "lon", "px", "py", "pz", "cell"
+    esc = _persist(
+        F.broadcast(t1.filter(~accept1).select("point_id", "cell"))
+        .join(p_base, "point_id")
+        .select("point_id", "lat", "lon", "px", "py", "pz", "cell")
     )
 
-    coarse = coarse_level
+    rungs = []
+    if level - 1 > coarse_level and level - 1 >= 2:
+        rungs.append(level - 1)
+    c = coarse_level
     while True:
-        if esc.limit(1).count() == 0:
+        rungs.append(c)
+        if c <= 4:
+            break
+        c = max(c - 3, 4)
+    n_esc = esc.count()
+    for coarse in rungs:
+        if n_esc == 0:
             return _union_all(outs)
+        if n_esc <= _BRUTE_CUTOVER:
+            break
         e = esc.select(
             "point_id", "px", "py", "pz",
             is_corner_cell(
@@ -647,12 +724,12 @@ def knn_nearest_way_segments(
         thr = _seg_chord2(_RUNG_SEG_FACTOR, coarse)
         ok = tk.filter(~F.col("corner") & (F.col("best.c2") < thr))
         outs.append(out_cols(ok).select(*sel))
-        esc = _persist(esc.join(ok.select("point_id"), "point_id", "left_anti"))
-        if coarse <= 4:
-            break
-        coarse = max(coarse - 3, 4)
+        esc = _persist(
+            esc.join(F.broadcast(ok.select("point_id")), "point_id", "left_anti")
+        )
+        n_esc = esc.count()
 
-    if esc.limit(1).count() == 0:
+    if n_esc == 0:
         return _union_all(outs)
     m = F.struct(
         _point_seg_chord2(px, py, pz).alias("c2"),
