@@ -1,0 +1,110 @@
+"""Streaming MinHash dedup (foreachBatch over parquet state tables):
+the union of per-batch pair outputs must equal the batch operator over
+the full corpus (each pair surfaces exactly once, when its later member
+arrives); replays must be idempotent in both the state and the sink; no
+cache entries may survive a batch (the state is storage, not memory)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from wayproblems_spark.operators.dedup import minhash_lsh_pairs
+from wayproblems_spark.streaming.dedup_stream import dedup_foreach_batch
+from wayproblems_spark.streaming.knn_stream import exactly_once_parquet_sink
+
+SF = "/root/testdata/sf0.001"
+
+
+def _corpus(spark):
+    """Documents + planted near-dups with ids interleaved ACROSS batches:
+    the near-dup of an early doc arrives two batches later, so cross-batch
+    state probing (not within-batch luck) is what must find most pairs."""
+    base = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    near = base.withColumn("doc_id", F.col("doc_id") + 100000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" extra token"))
+    )
+    return base.unionByName(near).select("doc_id", "text")
+
+
+def test_dedup_stream_matches_batch(spark, tmp_path):
+    docs = _corpus(spark)
+    expected = sorted(
+        (r["a"], r["b"], round(r["jaccard"], 9))
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    )
+    assert len(expected) >= 50  # the planted pairs actually band-match
+
+    # three time-ordered micro-batch files; originals land in batches 0-1,
+    # their near-dups in batches 1-2 (interleaved by sorting on doc_id
+    # modulo the planted offset would keep pairs together — plain doc_id
+    # sort splits originals and +100000 copies across the batch boundary)
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    src = tmp_path / "docs_stream"
+    os.makedirs(src)
+    k = len(pdf) // 3
+    chunks = [pdf.iloc[:k], pdf.iloc[k : 2 * k], pdf.iloc[2 * k :]]
+    for i, chunk in enumerate(chunks):
+        p = str(src / f"part{i}.parquet")
+        spark.createDataFrame(chunk).coalesce(1).write.mode("overwrite").parquet(p)
+        t = time.time() + i
+        for root, _, files in os.walk(p):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (t, t))
+
+    got = []
+    fb = dedup_foreach_batch(str(tmp_path / "state"), jaccard_threshold=0.5)
+    fb.sink = lambda df, bid: got.extend(
+        (r["a"], r["b"], round(r["jaccard"], 9)) for r in df.collect()
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/part*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(fb)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert sorted(got) == expected
+
+
+def test_dedup_stream_replay_idempotent_and_cache_flat(spark, tmp_path):
+    docs = _corpus(spark).toPandas().sort_values("doc_id").reset_index(drop=True)
+    half = len(docs) // 2
+    b0 = spark.createDataFrame(docs.iloc[:half])
+    b1 = spark.createDataFrame(docs.iloc[half:])
+
+    out = str(tmp_path / "pairs_out")
+    state = str(tmp_path / "state")
+    fb = dedup_foreach_batch(state, jaccard_threshold=0.5)
+    fb.sink = exactly_once_parquet_sink(out)
+
+    jsc = spark.sparkContext._jsc.sc()
+    cached_before = jsc.getPersistentRDDs().size()
+    fb(b0, 0)
+    fb(b1, 1)
+    assert jsc.getPersistentRDDs().size() == cached_before  # state is disk
+
+    once = sorted(map(tuple, spark.read.parquet(out).collect()))
+    docs_rows = spark.read.parquet(os.path.join(state, "docs")).count()
+    assert docs_rows == len(docs)
+    assert len(once) > 0
+
+    # replay batch 1 (post-failure at-least-once redelivery): state rows
+    # for batch_id=1 are overwritten not duplicated, the probe excludes
+    # the batch's own earlier write, and the sink partition is rewritten
+    # with identical pairs
+    fb(b1, 1)
+    again = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert again == once
+    assert spark.read.parquet(os.path.join(state, "docs")).count() == len(docs)
+    assert jsc.getPersistentRDDs().size() == cached_before

@@ -1,0 +1,206 @@
+"""Streaming near-duplicate detection: flag each incoming document batch
+against everything seen so far, through the PRODUCTION MinHash+LSH path.
+
+This is the training-data-ingest shape of dedup: documents arrive as a
+Structured-Streaming source; each micro-batch must be checked for
+near-duplicates (a) within itself and (b) against the full already-seen
+corpus, then folded into that corpus — without ever re-scanning or
+re-signing old documents.
+
+Shape: ``foreachBatch`` (the batch needs a multi-step plan: bucket join,
+verify join, state append — not a single streaming transformation), with
+the SEEN-CORPUS STATE kept as parquet tables on storage, not in executor
+or driver memory:
+
+  {state_dir}/docs     (batch_id, _id, shl)        hashed shingle sets
+  {state_dir}/buckets  (batch_id, band, sig, _id)  LSH band-bucket keys
+
+Each batch pays: signature compute for ITS OWN docs only (the exploded
+codegen minhash pipeline from operators.dedup), one bucket-key semi-join
+against the state buckets (selective: only buckets the batch touches are
+read back — parquet pushdown on the band/sig equi-join keys), the exact
+Jaccard verify on surviving candidate pairs, and one partitioned append.
+State size on disk is O(corpus), but per-batch compute is O(batch +
+matching buckets) — the build-once/stream-many cost shape shared with
+knn_stream / pip_stream, except here the "index" legitimately GROWS, so
+it lives in storage (at cluster scale: an object store) instead of a
+persisted broadcast.
+
+Delivery: every state write and the result sink are per-batch_id
+dynamic-partition overwrites, and state probes exclude the current
+batch_id — a replayed (at-least-once) micro-batch overwrites its own
+partitions and re-emits identical pairs, so the written tables are
+exactly-once (same pattern as knn_stream.exactly_once_parquet_sink).
+
+Equivalence contract (test-asserted): every near-dup pair is emitted
+exactly once, in the batch where its LATER member arrives. Hence the
+union of all per-batch outputs equals ``minhash_lsh_pairs`` over the full
+corpus, whenever no LSH bucket exceeds ``max_bucket`` (the cap is applied
+per arrival-prefix here but globally in the batch operator, so a binding
+cap may keep/drop different members; both sides still count drops).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.dedup import _minhash_band_buckets, word_shingles
+
+
+def _hashed_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(_id, shl array<long>) — the batch operator's base frame (dedup.py
+    minhash_lsh): distinct k-word shingles hashed to longs once."""
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(
+            F.transform(word_shingles(F.col(text_col), k), lambda s: F.xxhash64(s))
+        ).alias("shl"),
+    ).filter(F.size("shl") > 0)
+
+
+def _read_state(spark, path: str, like: DataFrame) -> DataFrame:
+    """State table, or an empty frame (schema = ``like`` + batch_id) on
+    the very first batch — derived, not hardcoded, so any id type the
+    caller uses flows through."""
+    if os.path.exists(path):
+        return spark.read.parquet(path)
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType(
+        list(like.schema.fields) + [StructField("batch_id", IntegerType())]
+    )
+    return spark.createDataFrame([], schema)
+
+
+def dedup_foreach_batch(
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+    max_bucket: int = 64,
+) -> Callable:
+    """Returns an on-batch callable for ``writeStream.foreachBatch`` that
+    emits the batch's verified near-dup pairs (a, b, jaccard) — against
+    both the batch itself and all previously seen documents — to the
+    wrapped sink set via ``.sink``, then folds the batch into the
+    persistent state under ``state_dir``.
+
+    Usage::
+
+        fb = dedup_foreach_batch("/data/dedup_state")
+        fb.sink = exactly_once_parquet_sink("/data/near_dup_pairs")
+        docs.writeStream.foreachBatch(fb).start()
+    """
+    from pyspark.sql.window import Window
+
+    docs_dir = os.path.join(state_dir, "docs")
+    buckets_dir = os.path.join(state_dir, "buckets")
+
+    def fb(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        bid = int(batch_id)
+        batch_persists: list = []
+
+        def _persist(df: DataFrame) -> DataFrame:
+            df = df.persist()
+            batch_persists.append(df)
+            return df
+
+        try:
+            base = _persist(_hashed_shingles(batch_df, id_col, text_col, k))
+            buckets = _minhash_band_buckets(base, num_hashes, bands)
+            w = Window.partitionBy("band", "sig").orderBy("_id")
+            kept = _persist(
+                buckets.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= max_bucket)
+                .select("band", "sig", "_id")
+            )
+
+            # within-batch candidates: the batch operator's capped
+            # self-equi-join (a < b)
+            within = (
+                kept.withColumnRenamed("_id", "a")
+                .join(kept.withColumnRenamed("_id", "b"), ["band", "sig"])
+                .filter(F.col("a") < F.col("b"))
+                .select("a", "b")
+            )
+
+            # cross candidates: batch bucket keys probe the state buckets.
+            # Replay safety: a redelivered batch's own rows are already in
+            # state — exclude them by batch_id. The probe is selective
+            # (equi-join on the batch's band/sig keys); per-bucket cap on
+            # the state side is ranked over the PROBED buckets only, so
+            # the window never touches buckets the batch doesn't hit.
+            seen_b = _read_state(spark, buckets_dir, kept).filter(
+                F.col("batch_id") != bid
+            )
+            probed = seen_b.join(
+                kept.select("band", "sig").distinct(), ["band", "sig"]
+            )
+            seen_kept = (
+                probed.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= max_bucket)
+                .select("band", "sig", F.col("_id").alias("old"))
+            )
+            cross = (
+                seen_kept.join(kept.withColumnRenamed("_id", "new"), ["band", "sig"])
+                .filter(F.col("old") != F.col("new"))
+                .select(
+                    F.least("old", "new").alias("a"),
+                    F.greatest("old", "new").alias("b"),
+                )
+            )
+
+            cand = within.unionByName(cross).dropDuplicates(["a", "b"])
+
+            # exact-Jaccard verify over hashed shingle sets; the old side
+            # joins back from state ONLY for candidate ids (selective)
+            seen_docs = _read_state(spark, docs_dir, base).filter(
+                F.col("batch_id") != bid
+            )
+            shl_all = base.unionByName(seen_docs.select("_id", "shl"))
+            j = (
+                cand.join(
+                    shl_all.select(F.col("_id").alias("a"), F.col("shl").alias("sha")),
+                    "a",
+                )
+                .join(
+                    shl_all.select(F.col("_id").alias("b"), F.col("shl").alias("shb")),
+                    "b",
+                )
+            )
+            inter = F.size(F.array_intersect("sha", "shb")).cast("double")
+            union = F.size(F.array_union("sha", "shb")).cast("double")
+            pairs = (
+                j.withColumn("jaccard", inter / union)
+                .filter(F.col("jaccard") >= jaccard_threshold)
+                .select("a", "b", "jaccard")
+            )
+            fb.sink(pairs, bid)
+
+            # fold the batch into state — per-batch_id dynamic overwrite:
+            # a replayed batch rewrites its own partitions (exactly-once)
+            for frame, path in (
+                (base, docs_dir),
+                (kept.select("band", "sig", "_id"), buckets_dir),
+            ):
+                (
+                    frame.withColumn("batch_id", F.lit(bid))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("batch_id")
+                    .parquet(path)
+                )
+        finally:
+            for df in batch_persists:
+                df.unpersist()
+
+    fb.sink = lambda df, bid: None
+    return fb
