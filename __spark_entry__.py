@@ -690,6 +690,48 @@ ORACLE = {
         )
         SELECT x AS doc_id, MIN(y) AS keeper_id FROM tc GROUP BY x
     """,
+    # G7 adaptive cell splitting (the north_star's skew answer): base-level
+    # grid ids, per-cell counts, cells over the row budget re-encoded at
+    # level+delta. The oracle recomputes the face-1 quadratic-ST packing
+    # closed-form at BOTH levels and applies the same >500 rule. All points
+    # lie on cube face 1 (|lat|<=25 within lon 55..125, same containment
+    # argument as q13); counts sit orders of magnitude from the threshold
+    # on both sides (hot cells ~1.9k rows, cold cells single digits), so
+    # the hot/cold decision is ulp-robust.
+    "q24_adaptive_cell_split_sql": """
+        WITH p AS (
+          SELECT event_id,
+                 CASE WHEN event_id % 4 = 0
+                      THEN -25.0 + ((event_id*13) % 50000)/1000.0
+                      ELSE 10.0 + (event_id % 200)/1000.0 END AS lat,
+                 CASE WHEN event_id % 4 = 0
+                      THEN 55.0 + ((event_id*7) % 70000)/1000.0
+                      ELSE 62.0 + ((event_id*3) % 200)/1000.0 END AS lon
+          FROM events),
+        xyz AS (
+          SELECT event_id,
+                 COS(RADIANS(lat))*COS(RADIANS(lon)) AS x,
+                 COS(RADIANS(lat))*SIN(RADIANS(lon)) AS y,
+                 SIN(RADIANS(lat)) AS z
+          FROM p),
+        uv AS (SELECT event_id, -x/y AS u, z/y AS v FROM xyz),
+        st AS (SELECT event_id,
+                 CASE WHEN u >= 0 THEN 0.5*SQRT(1.0 + 3.0*u) ELSE 1.0 - 0.5*SQRT(1.0 - 3.0*u) END AS s,
+                 CASE WHEN v >= 0 THEN 0.5*SQRT(1.0 + 3.0*v) ELSE 1.0 - 0.5*SQRT(1.0 - 3.0*v) END AS t
+               FROM uv),
+        ids AS (SELECT event_id,
+                 (CAST(288230376151711744 AS BIGINT)
+                    + LEAST(CAST(FLOOR(s*256.0) AS BIGINT), 255)*536870912
+                    + LEAST(CAST(FLOOR(t*256.0) AS BIGINT), 255)) AS bcell,
+                 (CAST(288230376151711744 AS BIGINT)
+                    + LEAST(CAST(FLOOR(s*1024.0) AS BIGINT), 1023)*536870912
+                    + LEAST(CAST(FLOOR(t*1024.0) AS BIGINT), 1023)) AS fcell
+                FROM st),
+        hot AS (SELECT bcell FROM ids GROUP BY bcell HAVING COUNT(*) > 500)
+        SELECT i.event_id,
+               CASE WHEN h.bcell IS NOT NULL THEN i.fcell ELSE i.bcell END AS cell
+        FROM ids i LEFT JOIN hot h USING (bcell)
+    """,
 }
 
 
@@ -1205,6 +1247,37 @@ def q23_near_dup_groups_sql(spark, sf_dir):
     return groups.select("doc_id", "keeper_id")
 
 
+def q24_adaptive_cell_split_sql(spark, sf_dir):
+    """G7 skew-handling hash-exact oracle: the PRODUCTION
+    `adaptive_cell_split` (plans/skew.py — two-pass per-cell count →
+    broadcast hot set → mixed-resolution re-encode; the north_star's
+    "adaptive cell splitting") with the canonical numpy grid encoder
+    (encoder="grid", the same q13-locked face/ST/(i,j) packing) over a
+    deliberately skewed face-1 point set: 3/4 of points flood a 0.2°×0.2°
+    window (hot level-8 cells ~1.9k rows each, split to level 10), 1/4
+    spread across ~50°×70° (cold single-digit cells, stay level 8). The
+    DuckDB oracle recomputes both levels' grid ids closed-form and applies
+    the same >500 budget — counts sit far from the threshold on both
+    sides, so the hot/cold decision is ulp-robust."""
+    from wayproblems_spark.plans.skew import adaptive_cell_split
+
+    ev = _t(spark, sf_dir, "events")
+    spread = F.col("event_id") % 4 == 0
+    p = ev.select(
+        "event_id",
+        F.when(spread, F.lit(-25.0) + ((F.col("event_id") * 13) % 50000) / 1000.0)
+        .otherwise(F.lit(10.0) + (F.col("event_id") % 200) / 1000.0)
+        .alias("lat"),
+        F.when(spread, F.lit(55.0) + ((F.col("event_id") * 7) % 70000) / 1000.0)
+        .otherwise(F.lit(62.0) + ((F.col("event_id") * 3) % 200) / 1000.0)
+        .alias("lon"),
+    )
+    out = adaptive_cell_split(
+        p, "lat", "lon", base_level=8, max_rows_per_cell=500, delta=2, encoder="grid"
+    )
+    return out.select("event_id", "cell")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full wayproblems pipeline on the deterministic fixture
     corpus (pages → extract → geoparse → resolve → 230-site rule engine)."""
@@ -1243,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_minhash_lsh_sql": q21_minhash_lsh_sql,
         "q22_ivf_exhaustive_topk_sql": q22_ivf_exhaustive_topk_sql,
         "q23_near_dup_groups_sql": q23_near_dup_groups_sql,
+        "q24_adaptive_cell_split_sql": q24_adaptive_cell_split_sql,
         "r01_wayproblems_problems": r01_wayproblems_problems,
         "r02_wayproblems_stdout": r02_wayproblems_stdout,
         "r03_tile_counts": r03_tile_counts,

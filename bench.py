@@ -658,8 +658,8 @@ def main_single():
 
 
 def main_scaling():
-    """local[8] vs local[32] on identical input: throughput, efficiency,
-    bit-stability (BASELINE.md protocol)."""
+    """local[N] vs local[4N] (default 2v8) on identical input: throughput,
+    efficiency, bit-stability (BASELINE.md protocol)."""
     import shutil
 
     # stage the corpus + spark scratch on tmpfs: the shared host's disk has
@@ -680,7 +680,12 @@ def main_scaling():
     local_dir = "/dev/shm/wp_spark_local"
     os.makedirs(local_dir, exist_ok=True)
 
-    levels = os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "8,32").split(",")
+    # 2v8 is the established N→4N pair (BASELINE.md "levels" rationale:
+    # both levels away from whole-box saturation on the shared 32-core
+    # host). An 8v32 attempt (tag r5c) put the 4N side at the full box
+    # where host steal + one shared heap poisoned the comparison — keep
+    # the default at the protocol pair.
+    levels = os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8").split(",")
     # PER-PROCESS-MIN protocol (round-3 finding, VERDICT r3 "wrong #5"):
     # a single local[N] JVM instance is a per-process lottery — one-shot
     # JIT compile choices on the 230-branch rule megamethod swung the warm

@@ -10,7 +10,12 @@ from wayproblems_spark.plans.checkpoint import (
     run_bucketed,
     with_bucket,
 )
-from wayproblems_spark.plans.skew import adaptive_cell_split, cell_histogram, salted_join
+from wayproblems_spark.plans.skew import (
+    adaptive_cell_split,
+    cell_histogram,
+    grid_expr_from_latlon,
+    salted_join,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -93,3 +98,61 @@ def test_adaptive_cell_split(spark):
     maxrows = max(r["rows"] for r in hist)
     assert maxrows < 900
     assert len(hist) > 5
+
+
+def _skewed_points(spark, n=4000):
+    # the q24 fixture shape: 3/4 flood a 0.2°×0.2° face-1 window (hot),
+    # 1/4 spread over ~50°×70° (cold) — ids drive everything, no RNG
+    spread = F.col("id") % 4 == 0
+    return spark.range(0, n).select(
+        F.col("id"),
+        F.when(spread, F.lit(-25.0) + ((F.col("id") * 13) % 50000) / 1000.0)
+        .otherwise(F.lit(10.0) + (F.col("id") % 200) / 1000.0)
+        .alias("lat"),
+        F.when(spread, F.lit(55.0) + ((F.col("id") * 7) % 70000) / 1000.0)
+        .otherwise(F.lit(62.0) + ((F.col("id") * 3) % 200) / 1000.0)
+        .alias("lon"),
+    )
+
+
+def test_adaptive_split_grid_jvm_matches_udf(spark):
+    """encoder="grid_jvm" (pure codegen) must reproduce encoder="grid"
+    (numpy pandas-UDF, the q13/q24-oracle-locked packing) exactly — the
+    only divergence channel is a ~1e-15/row trig-ulp cell-boundary flip,
+    so on a fixed 4k-point fixture equality is deterministic in practice.
+    The JVM plan must contain no Python evaluation node at all."""
+    pts = _skewed_points(spark)
+    kw = dict(base_level=8, max_rows_per_cell=300, delta=2)
+    via_udf = adaptive_cell_split(pts, "lat", "lon", encoder="grid", **kw)
+    via_jvm = adaptive_cell_split(pts, "lat", "lon", encoder="grid_jvm", **kw)
+    a = sorted(map(tuple, via_udf.select("id", "cell").collect()))
+    b = sorted(map(tuple, via_jvm.select("id", "cell").collect()))
+    assert a == b
+    # mixed resolution actually happened: fine cells differ from base set
+    levels = {c >> 58 for _, c in a}
+    assert levels == {1}  # all face 1
+    plan = via_jvm._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    udf_plan = via_udf._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in udf_plan  # the control: udf path does pay it
+
+
+def test_adaptive_split_mixed_resolution(spark):
+    """Hot rows land at base_level+delta, cold rows stay at base_level —
+    verified against independently recomputed per-level encodes."""
+    pts = _skewed_points(spark)
+    out = adaptive_cell_split(
+        pts, "lat", "lon", base_level=8, max_rows_per_cell=300, delta=2,
+        encoder="grid_jvm",
+    )
+    chk = pts.select(
+        "id",
+        grid_expr_from_latlon(F.col("lat"), F.col("lon"), 8).alias("c8"),
+        grid_expr_from_latlon(F.col("lat"), F.col("lon"), 10).alias("c10"),
+    )
+    j = out.join(chk, "id").select("id", "cell", "c8", "c10").collect()
+    n_fine = sum(1 for r in j if r["cell"] == r["c10"] and r["cell"] != r["c8"])
+    n_base = sum(1 for r in j if r["cell"] == r["c8"])
+    assert n_fine + n_base == len(j) == 4000
+    assert n_fine >= 2300  # flooded 3/4 (3000 rows) minus worst-case sliver cells
+    assert n_base >= 900  # the spread quarter stays coarse
