@@ -732,6 +732,89 @@ ORACLE = {
                CASE WHEN h.bcell IS NOT NULL THEN i.fcell ELSE i.bcell END AS cell
         FROM ids i LEFT JOIN hot h USING (bcell)
     """,
+    # Embedding near-dup family at EXHAUSTIVE parameterization (the q22
+    # pattern): n_tables=1, n_planes=0 ⇒ one LSH bucket holds the whole
+    # corpus ⇒ the production bucket-join + einsum cosine verify must equal
+    # brute-force all-pairs cosine. f32 products are exact in f64; the two
+    # engines differ only in f64 summation order (~1e-16), and the data
+    # sits 6.9e-5 from the 0.3 threshold and ≥4.5e-9 from every ROUND(4)
+    # boundary (measured at sf0.01), so the row set and rounded values are
+    # deterministic.
+    "q25_embedding_lsh_exhaustive_sql": """
+        WITH p AS (
+          SELECT a.vec_id AS a, b.vec_id AS b,
+                 list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+                 (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+                  sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS sim
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        SELECT a, b, ROUND(sim, 4) AS sim_r4 FROM p WHERE sim >= 0.3
+    """,
+    # Full text-analysis closed form. All arithmetic is +,*,/ over
+    # small-integer quotients — bit-identical doubles in both engines given
+    # identical token counts; ROUND(6) mirrors the production operator.
+    # lang argmax tie-break = lexicographically-largest code (Spark
+    # greatest() over (hits, code) structs) → probe fr, es, en, de.
+    "q26_doc_quality_sql": """
+        WITH t AS (
+          SELECT doc_id, text,
+                 string_split_regex(lower(trim(text)), '\\s+') AS toks,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE length(string_split_regex(lower(trim(text)), '\\s+'))
+                 END AS tc
+          FROM documents WHERE n_chars > 0),
+        c AS (
+          SELECT doc_id, toks, tc,
+                 length(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe,
+                 CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS DOUBLE)
+                   / CAST(greatest(length(text), 1) AS DOUBLE) AS p,
+                 CAST(length(list_filter(toks, x -> x IN ('and','auf','con','dans','das','der','des','die','ein','el','es','est','et','for','für','in','is','ist','it','la','le','les','los','mit','nicht','of','para','por','pour','que','that','the','to','una','und','une','with','y'))) AS DOUBLE)
+                   / CAST(greatest(length(toks), 1) AS DOUBLE) AS s,
+                 CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                   / CAST(greatest(length(toks), 1) AS DOUBLE) AS m,
+                 length(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','for','with','it'))) AS h_en,
+                 length(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','mit','für','auf','ein'))) AS h_de,
+                 length(list_filter(toks, x -> x IN ('le','la','les','et','est','pour','dans','que','une','des'))) AS h_fr,
+                 length(list_filter(toks, x -> x IN ('el','la','los','y','es','que','para','con','una','por'))) AS h_es
+          FROM t)
+        SELECT doc_id, tc AS token_count, bpe AS bpe_token_count,
+               ROUND(p, 6) AS punct_ratio, ROUND(s, 6) AS stopword_ratio,
+               ROUND(m, 6) AS mean_token_len,
+               ROUND(least(CAST(tc AS DOUBLE) / 20.0, 1.0) * 0.3
+                   + (CASE WHEN p < 0.2 THEN 1.0
+                           ELSE greatest(0.0, 1.0 - (p - 0.2) * 5.0) END) * 0.2
+                   + least(s * 5.0, 1.0) * 0.3
+                   + (CASE WHEN m >= 2.5 AND m <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.2,
+                     6) AS quality,
+               CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                    WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                    WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+                    WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                    ELSE 'de' END AS lang_guess
+        FROM c
+    """,
+    # P9 accesscombinations: rebuild the fixed-key-order "key=value " line
+    # (trailing space kept) over the same deterministic residue-class tag
+    # synthesis; DUMP_TAGS order = highway, access, motor_vehicle, hgv,
+    # bicycle, foot among the keys synthesized here. Pure strings.
+    "q27_access_combinations_sql": """
+        WITH w AS (
+          SELECT l_orderkey AS way_id,
+                 l_orderkey % 8 AS m8, l_orderkey % 5 AS m5, l_orderkey % 3 AS m3
+          FROM lineitem WHERE l_linenumber = 1)
+        SELECT way_id,
+               CAST(way_id AS VARCHAR) || ' ' ||
+               'highway=' || (CASE WHEN m8 < 3 THEN 'residential'
+                                   WHEN m8 < 5 THEN 'track'
+                                   ELSE 'footway' END) || ' ' ||
+               (CASE WHEN m5 = 0 THEN 'access=' ||
+                     (CASE WHEN m3 = 0 THEN 'no' ELSE 'private' END) || ' '
+                     ELSE '' END) ||
+               (CASE WHEN m8 = 3 THEN 'motor_vehicle=agricultural ' ELSE '' END) ||
+               (CASE WHEN m5 = 3 THEN 'hgv=destination ' ELSE '' END) ||
+               (CASE WHEN m5 = 1 THEN 'bicycle=yes ' ELSE '' END) ||
+               (CASE WHEN m3 = 2 THEN 'foot=designated ' ELSE '' END) AS line
+        FROM w WHERE m8 < 7
+    """,
 }
 
 
@@ -1278,6 +1361,89 @@ def q24_adaptive_cell_split_sql(spark, sf_dir):
     return out.select("event_id", "cell")
 
 
+def q25_embedding_lsh_exhaustive_sql(spark, sf_dir):
+    """Embedding near-dup family's hash-exact oracle row: the PRODUCTION
+    `embedding_near_pairs` (hyperplane-LSH self-buckets → per-bucket cap →
+    batched-einsum exact cosine verify, operators/similarity.py) at
+    EXHAUSTIVE parameterization — n_tables=1 with n_planes=0 puts the
+    whole corpus in one bucket, so the result provably equals brute-force
+    all-pairs cosine ≥ threshold regardless of the hyperplane draw (the
+    q22 exhaustive-probing pattern). Locks the bucket-join / cap / verify
+    plumbing that r15 exercises only rows-only."""
+    from wayproblems_spark.operators.similarity import embedding_near_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_pairs(
+        e, dim=64, threshold=0.3, n_planes=0, n_tables=1, max_bucket=1_000_000
+    )
+    return pairs.select("a", "b", F.round("sim", 4).alias("sim_r4"))
+
+
+def q26_doc_quality_sql(spark, sf_dir):
+    """Text-analysis family's full hash-exact oracle row: the PRODUCTION
+    `document_stats` (operators/textstats.py — whitespace + BPE-ish regex
+    token counting, punct/stopword/mean-token-length ratios, the composite
+    [0,1] quality score, marker-word argmax language-ID) vs DuckDB
+    recomputing every column closed-form. All arithmetic is +,*,/ over
+    quotients of small integers (no transcendentals), so both engines
+    produce bit-identical doubles given identical token counts; ROUND(6)
+    is applied by the production operator itself and mirrored in SQL.
+    The engine-specific `fingerprint` column (xxhash64 fold) stays
+    rows-only in r10. Upgrades r10's core columns to hash-exact."""
+    from wayproblems_spark.operators.textstats import document_stats
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return document_stats(d).select(
+        "doc_id",
+        F.col("token_count").cast("long").alias("token_count"),
+        F.col("bpe_token_count").cast("long").alias("bpe_token_count"),
+        "punct_ratio",
+        "stopword_ratio",
+        "mean_token_len",
+        "quality",
+        "lang_guess",
+    )
+
+
+def q27_access_combinations_sql(spark, sf_dir):
+    """P9 accesscombinations hash-exact oracle row: the PRODUCTION
+    `access_combinations(with_wayid=True)` (operators/accessdump.py,
+    mirroring accesscombinations.cpp:26-53's fixed-key-order
+    `key=value ` dump) over a tags map synthesized deterministically from
+    lineitem (the q08 pattern) vs DuckDB rebuilding the same line with
+    string CASE logic. Pure string output — no float risk; locks the
+    second reference binary's semantics (fixed key order, trailing
+    space, ways without highway dropped) which was pytest-only."""
+    from wayproblems_spark.operators.accessdump import access_combinations
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    m8 = F.pmod("l_orderkey", 8)
+    m5 = F.pmod("l_orderkey", 5)
+    m3 = F.pmod("l_orderkey", 3)
+    # deterministic sparse tag map: ~7/8 ways get highway; access/bicycle/
+    # foot/hgv appear on residue classes so many distinct combinations occur
+    entries = [
+        F.when(m8 < 7, F.struct(F.lit("highway").alias("key"),
+               F.when(m8 < 3, "residential").when(m8 < 5, "track")
+                .otherwise("footway").alias("value"))),
+        F.when(m5 == 0, F.struct(F.lit("access").alias("key"),
+               F.when(m3 == 0, "no").otherwise("private").alias("value"))),
+        F.when(m5 == 1, F.struct(F.lit("bicycle").alias("key"),
+               F.lit("yes").alias("value"))),
+        F.when(m3 == 2, F.struct(F.lit("foot").alias("key"),
+               F.lit("designated").alias("value"))),
+        F.when(m5 == 3, F.struct(F.lit("hgv").alias("key"),
+               F.lit("destination").alias("value"))),
+        F.when(m8 == 3, F.struct(F.lit("motor_vehicle").alias("key"),
+               F.lit("agricultural").alias("value"))),
+    ]
+    tags = F.map_from_entries(
+        F.filter(F.array(*entries), lambda e: e.isNotNull())
+    )
+    ways = li.select(F.col("l_orderkey").alias("way_id"), tags.alias("tags"))
+    return access_combinations(ways, with_wayid=True)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full wayproblems pipeline on the deterministic fixture
     corpus (pages → extract → geoparse → resolve → 230-site rule engine)."""
@@ -1317,6 +1483,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_ivf_exhaustive_topk_sql": q22_ivf_exhaustive_topk_sql,
         "q23_near_dup_groups_sql": q23_near_dup_groups_sql,
         "q24_adaptive_cell_split_sql": q24_adaptive_cell_split_sql,
+        "q25_embedding_lsh_exhaustive_sql": q25_embedding_lsh_exhaustive_sql,
+        "q26_doc_quality_sql": q26_doc_quality_sql,
+        "q27_access_combinations_sql": q27_access_combinations_sql,
         "r01_wayproblems_problems": r01_wayproblems_problems,
         "r02_wayproblems_stdout": r02_wayproblems_stdout,
         "r03_tile_counts": r03_tile_counts,

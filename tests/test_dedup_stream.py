@@ -88,11 +88,18 @@ def test_dedup_stream_replay_idempotent_and_cache_flat(spark, tmp_path):
     fb = dedup_foreach_batch(state, jaccard_threshold=0.5)
     fb.sink = exactly_once_parquet_sink(out)
 
-    jsc = spark.sparkContext._jsc.sc()
-    cached_before = jsc.getPersistentRDDs().size()
+    # cache-flat check via RDD-id SETS, not counts: Spark's ContextCleaner
+    # unpersists earlier tests' unreachable frames asynchronously, so a
+    # count captured here can legitimately DECREASE mid-test — what must
+    # hold is that no id persisted by fb() survives it
+    def cached_ids():
+        m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        return {it.next()._1() for it in [m.iterator()] for _ in range(m.size())}
+
+    cached_before = cached_ids()
     fb(b0, 0)
     fb(b1, 1)
-    assert jsc.getPersistentRDDs().size() == cached_before  # state is disk
+    assert cached_ids() <= cached_before  # state is disk, nothing new cached
 
     once = sorted(map(tuple, spark.read.parquet(out).collect()))
     docs_rows = spark.read.parquet(os.path.join(state, "docs")).count()
@@ -107,4 +114,51 @@ def test_dedup_stream_replay_idempotent_and_cache_flat(spark, tmp_path):
     again = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert again == once
     assert spark.read.parquet(os.path.join(state, "docs")).count() == len(docs)
-    assert jsc.getPersistentRDDs().size() == cached_before
+    assert cached_ids() <= cached_before
+
+
+def test_dedup_state_compaction(spark, tmp_path):
+    """Compacting committed batches into batch_id=-1 must leave state row
+    content identical, shrink the partition count, and leave subsequent
+    batches' emitted pairs unchanged (vs an uncompacted control run)."""
+    from wayproblems_spark.streaming.dedup_stream import compact_dedup_state
+
+    docs = _corpus(spark).toPandas().sort_values("doc_id").reset_index(drop=True)
+    k = len(docs) // 3
+    batches = [
+        spark.createDataFrame(docs.iloc[:k]),
+        spark.createDataFrame(docs.iloc[k : 2 * k]),
+        spark.createDataFrame(docs.iloc[2 * k :]),
+    ]
+
+    def run(state, compact_after_two):
+        got = []
+        fb = dedup_foreach_batch(state, jaccard_threshold=0.5)
+        fb.sink = lambda df, bid: got.extend(
+            (r["a"], r["b"], round(r["jaccard"], 9)) for r in df.collect()
+        )
+        fb(batches[0], 0)
+        fb(batches[1], 1)
+        if compact_after_two:
+            stats = compact_dedup_state(spark, state, horizon_batch_id=2)
+            assert stats["docs"] == 2 * k and stats["buckets"] > 0
+        fb(batches[2], 2)
+        return sorted(got)
+
+    plain_state = str(tmp_path / "state_plain")
+    comp_state = str(tmp_path / "state_comp")
+    assert run(plain_state, False) == run(comp_state, True)
+
+    for sub in ("docs", "buckets"):
+        plain = spark.read.parquet(os.path.join(plain_state, sub))
+        comp = spark.read.parquet(os.path.join(comp_state, sub))
+        # row content identical modulo which batch_id partition holds it
+        key = [c for c in plain.columns if c != "batch_id"]
+        assert sorted(map(tuple, plain.select(*key).collect())) == sorted(
+            map(tuple, comp.select(*key).collect())
+        )
+        parts = {
+            n for n in os.listdir(os.path.join(comp_state, sub))
+            if n.startswith("batch_id=")
+        }
+        assert parts == {"batch_id=-1", "batch_id=2"}

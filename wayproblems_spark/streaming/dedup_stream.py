@@ -204,3 +204,64 @@ def dedup_foreach_batch(
 
     fb.sink = lambda df, bid: None
     return fb
+
+
+def compact_dedup_state(
+    spark, state_dir: str, horizon_batch_id: int, n_files: int = 8
+) -> dict:
+    """Fold all state partitions with ``batch_id < horizon_batch_id`` into
+    the single compacted partition ``batch_id=-1``.
+
+    A long-lived ingest stream leaves one (tiny) parquet partition per
+    micro-batch; after thousands of batches the per-batch probe pays a
+    footer/listing cost proportional to stream age, not corpus size.
+    Compaction rewrites the old partitions into ``n_files`` files per
+    table and removes them — row content identical, probe plans flat.
+
+    Exactly-once contract: ``horizon_batch_id`` MUST be at most the
+    stream's last CHECKPOINT-COMMITTED batch id. Structured Streaming
+    only ever replays the batch(es) after the committed offset, so no
+    replayed ``batch_id`` can collide with a compacted one (a collision
+    would double the batch's rows in state — once under ``batch_id=-1``,
+    once under its rewritten own partition). The compacted partition uses
+    ``-1`` because real batch ids are non-negative, so every probe's
+    ``batch_id != current`` filter keeps matching it.
+
+    Returns {"docs": rows_compacted, "buckets": rows_compacted}.
+    """
+    import shutil
+
+    from pyspark.sql import functions as SF
+
+    out = {}
+    for sub, keys in (("docs", ["_id"]), ("buckets", ["band", "sig"])):
+        path = os.path.join(state_dir, sub)
+        if not os.path.exists(path):
+            out[sub] = 0
+            continue
+        df = spark.read.parquet(path)
+        old = df.filter(SF.col("batch_id") < horizon_batch_id)
+        n = old.count()
+        out[sub] = n
+        if n == 0:
+            continue
+        staging = path + "._compact"
+        (
+            old.drop("batch_id")
+            .repartition(n_files, *keys)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        for name in os.listdir(path):
+            if not name.startswith("batch_id="):
+                continue
+            bid = int(name.split("=", 1)[1])
+            if bid < horizon_batch_id:
+                shutil.rmtree(os.path.join(path, name))
+        dest = os.path.join(path, "batch_id=-1")
+        os.makedirs(dest, exist_ok=True)
+        for name in os.listdir(staging):
+            if name.endswith(".parquet"):
+                shutil.move(os.path.join(staging, name), os.path.join(dest, name))
+        shutil.rmtree(staging)
+    return out
