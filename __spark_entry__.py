@@ -815,6 +815,34 @@ ORACLE = {
                (CASE WHEN m3 = 2 THEN 'foot=designated ' ELSE '' END) AS line
         FROM w WHERE m8 < 7
     """,
+    # Expected sniff label + byte length closed-form: the blob is a known
+    # magic prefix (by doc_id residue) + the UTF-8 text; residue 4's \x00
+    # lead byte guarantees 'bin' (no magic starts with NUL). Verified at
+    # sf0.01 that no document's bytes alias a magic at a probe offset.
+    "q28_binary_sniff_sql": """
+        SELECT doc_id,
+               CASE doc_id % 6 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+                               WHEN 2 THEN 'wav'  WHEN 3 THEN 'pdf'
+                               WHEN 4 THEN 'bin'  ELSE 'gzip' END AS format,
+               CAST(octet_length(encode(text)) +
+                    (CASE doc_id % 6 WHEN 0 THEN 3 WHEN 1 THEN 8
+                                     WHEN 2 THEN 12 WHEN 3 THEN 4
+                                     WHEN 4 THEN 1 ELSE 2 END) AS BIGINT) AS n_bytes
+        FROM documents
+    """,
+    # Keep decision replicated in hex-string space: 8-char lowercase md5
+    # prefix < zero-padded hex threshold == the numeric u32 compare the
+    # operator does (fixed-width lowercase hex orders like the integers).
+    # Thresholds = int(rate * 2^32): 0.25→40000000, 0.5→80000000,
+    # 0.1→19999999, default 0.75→c0000000.
+    "q29_stratified_sample_sql": """
+        SELECT doc_id, lang FROM documents
+        WHERE substring(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 8) <
+              CASE lang WHEN 'en' THEN '40000000'
+                        WHEN 'de' THEN '80000000'
+                        WHEN 'fr' THEN '19999999'
+                        ELSE 'c0000000' END
+    """,
 }
 
 
@@ -1444,6 +1472,61 @@ def q27_access_combinations_sql(spark, sf_dir):
     return access_combinations(ways, with_wayid=True)
 
 
+def q28_binary_sniff_sql(spark, sf_dir):
+    """Binary-content family hash-exact oracle row: the PRODUCTION
+    `byte_stats` (operators/binaryops.py — JVM magic-byte CASE sniffer +
+    Arrow-batched entropy pass) over blobs synthesized deterministically
+    from documents (real magic prefixes by doc_id residue; residue 4 gets
+    a \\x00 lead byte so plain text can never alias a magic) vs DuckDB
+    computing the expected label and byte length closed-form
+    (octet_length of the UTF-8 text + prefix length). Exercises the full
+    mapInPandas plumbing; the float columns (entropy/printable) stay
+    pytest-gated vs a pure-Python reference — only the deterministic
+    format/n_bytes surface is hashed."""
+    from wayproblems_spark.operators.binaryops import byte_stats
+
+    d = _t(spark, sf_dir, "documents")
+    m6 = F.pmod("doc_id", 6)
+    prefix = (
+        F.when(m6 == 0, F.lit(bytearray(b"\xff\xd8\xff")))
+        .when(m6 == 1, F.lit(bytearray(b"\x89PNG\r\n\x1a\n")))
+        .when(m6 == 2, F.lit(bytearray(b"RIFF\x00\x00\x00\x00WAVE")))
+        .when(m6 == 3, F.lit(bytearray(b"%PDF")))
+        .when(m6 == 4, F.lit(bytearray(b"\x00")))
+        .otherwise(F.lit(bytearray(b"\x1f\x8b")))
+    )
+    blobs = d.select(
+        "doc_id",
+        F.concat(prefix, F.encode("text", "UTF-8")).alias("blob"),
+    )
+    out = byte_stats(blobs, id_col="doc_id", blob_col="blob")
+    return out.select(F.col("id").alias("doc_id"), "format", "n_bytes")
+
+
+def q29_stratified_sample_sql(spark, sf_dir):
+    """Deterministic sampling oracle row: the PRODUCTION
+    `stratified_sample` (operators/sampling.py — md5-keyed, per-language
+    keep rates folded into one codegen CASE threshold) vs DuckDB
+    replicating the keep decision in HEX-STRING space (8-char lowercase
+    md5 prefix compared lexicographically against the zero-padded hex
+    threshold — identical ordering to the numeric compare, no integer
+    parse needed). Locks the property that matters: the kept SET is a
+    pure function of (key, salt, stratum rate) — reproducible across
+    engines, runs, and partitionings."""
+    from wayproblems_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        d,
+        key_col="doc_id",
+        stratum_col="lang",
+        rates={"en": 0.25, "de": 0.5, "fr": 0.1},
+        default_rate=0.75,
+        salt="s1",
+    )
+    return kept.select("doc_id", "lang")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full wayproblems pipeline on the deterministic fixture
     corpus (pages → extract → geoparse → resolve → 230-site rule engine)."""
@@ -1486,6 +1569,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_embedding_lsh_exhaustive_sql": q25_embedding_lsh_exhaustive_sql,
         "q26_doc_quality_sql": q26_doc_quality_sql,
         "q27_access_combinations_sql": q27_access_combinations_sql,
+        "q28_binary_sniff_sql": q28_binary_sniff_sql,
+        "q29_stratified_sample_sql": q29_stratified_sample_sql,
         "r01_wayproblems_problems": r01_wayproblems_problems,
         "r02_wayproblems_stdout": r02_wayproblems_stdout,
         "r03_tile_counts": r03_tile_counts,

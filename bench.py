@@ -460,15 +460,26 @@ def run_suite(spark, emit_fingerprints: bool = False) -> dict:
 
     # single-file table → split for parallel shingle/minhash evaluation
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(64, "doc_id")
-    counts["minhash_pairs"] = timed(
-        "minhash_dedup",
-        lambda: minhash_lsh_pairs(
+
+    def _minhash():
+        # the operator persists its shingle frame internally (one
+        # materialization feeds banding + both verify-join sides);
+        # unpersist inside the rep so the NEXT rep recomputes instead of
+        # silently reading this rep's cache (identical logical plan ⇒
+        # CacheManager hit — the documented bench trap)
+        tp = []
+        n = minhash_lsh_pairs(
             docs.unionByName(
                 docs.withColumn("doc_id", F.col("doc_id") + 10_000_000)
             ),
             jaccard_threshold=0.8,
-        ).count(),
-    )
+            track_persists=tp,
+        ).count()
+        for f in tp:
+            f.unpersist()
+        return n
+
+    counts["minhash_pairs"] = timed("minhash_dedup", _minhash)
 
     # ANN IVF leg: 1M dim-128 vectors (deterministic, staged once), 64
     # queries, pretrained coarse quantizer. Split per the production

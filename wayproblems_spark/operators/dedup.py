@@ -112,10 +112,18 @@ def minhash_lsh(
     bands: int = 16,
     jaccard_threshold: float = 0.5,
     max_bucket: int = 64,
+    track_persists: list | None = None,
 ) -> dict:
     """Near-duplicate detection: shingle → minhash → band buckets → exact
     Jaccard verify. Returns ``{"pairs": DataFrame(a, b, jaccard),
     "dropped": DataFrame(band, sig, bucket_n, dropped)}``.
+
+    The shingle-hash frame is persisted internally: it feeds the band
+    buckets AND both sides of the verify join, and its interpreted
+    higher-order shingle transform is the operator's dominant cost — one
+    materialization instead of three. ``track_persists`` (the knn
+    pattern): pass a list to receive the persisted frame so long-running
+    repeated callers can unpersist it after consuming the result.
 
     Scale shape (the round-1 design shuffled full shingle arrays through
     all bands and collect_list'd whole buckets before capping — an OOM
@@ -141,6 +149,9 @@ def minhash_lsh(
             F.transform(word_shingles(F.col(text_col), k), lambda s: F.xxhash64(s))
         ).alias("shl"),
     ).filter(F.size("shl") > 0)
+    base = base.persist()
+    if track_persists is not None:
+        track_persists.append(base)
 
     buckets = _minhash_band_buckets(base, num_hashes, bands)
     w = Window.partitionBy("band", "sig").orderBy("_id")
@@ -192,10 +203,12 @@ def minhash_lsh_pairs(
     bands: int = 16,
     jaccard_threshold: float = 0.5,
     max_bucket: int = 64,
+    track_persists: list | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (a, b, jaccard) with a < b — see minhash_lsh."""
     return minhash_lsh(
-        df, id_col, text_col, k, num_hashes, bands, jaccard_threshold, max_bucket
+        df, id_col, text_col, k, num_hashes, bands, jaccard_threshold,
+        max_bucket, track_persists,
     )["pairs"]
 
 
