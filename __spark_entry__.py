@@ -843,6 +843,50 @@ ORACLE = {
                         WHEN 'fr' THEN '19999999'
                         ELSE 'c0000000' END
     """,
+    # q23's closure extended with the keep decision: group label = min
+    # reachable id, keeper = window argmax by (quality DESC, id ASC).
+    # Quality = ((id//2)*37 % 101)/100 — exact small-integer quotient,
+    # bit-identical doubles both engines; consecutive ids tie on purpose.
+    "q30_canonical_docs_sql": """
+        WITH RECURSIVE
+        d AS (
+          SELECT doc_id AS id,
+                 CASE CAST(doc_id % 4 AS INTEGER)
+                   WHEN 2 THEN list_concat(
+                     list_transform(range(0, 18),  i -> 'w' || CAST((doc_id // 4) * 64 + i AS VARCHAR)),
+                     list_transform(range(40, 42), i -> 'w' || CAST((doc_id // 4) * 64 + i AS VARCHAR)))
+                   WHEN 3 THEN list_concat(
+                     list_transform(range(0, 10),  i -> 'w' || CAST((doc_id // 4) * 64 + i AS VARCHAR)),
+                     list_transform(range(50, 60), i -> 'w' || CAST((doc_id // 4) * 64 + i AS VARCHAR)))
+                   ELSE list_transform(range(0, 20), i -> 'w' || CAST((doc_id // 4) * 64 + i AS VARCHAR))
+                 END AS toks
+          FROM documents),
+        p AS (
+          SELECT l.id AS a, r.id AS b
+          FROM d l JOIN d r ON l.id < r.id
+          WHERE CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+                  / CAST(len(l.toks) + len(r.toks)
+                         - len(list_intersect(l.toks, r.toks)) AS DOUBLE) >= 0.8),
+        sym AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+        tc(x, y) AS (
+          SELECT doc_id AS x, doc_id AS y FROM documents
+          UNION
+          SELECT tc.x, s.b AS y FROM tc JOIN sym s ON tc.y = s.a
+        ),
+        grp AS (SELECT x AS doc_id, MIN(y) AS gid FROM tc GROUP BY x),
+        q AS (
+          SELECT g.doc_id, g.gid,
+                 CAST((g.doc_id // 2) * 37 % 101 AS DOUBLE) / 100.0 AS quality
+          FROM grp g),
+        ranked AS (
+          SELECT doc_id, gid, quality,
+                 row_number() OVER (PARTITION BY gid
+                                    ORDER BY quality DESC, doc_id ASC) AS rn
+          FROM q),
+        keep AS (SELECT gid, doc_id AS keeper_id FROM ranked WHERE rn = 1)
+        SELECT q.doc_id, k.keeper_id, q.doc_id = k.keeper_id AS kept
+        FROM q JOIN keep k USING (gid)
+    """,
 }
 
 
@@ -1527,6 +1571,47 @@ def q29_stratified_sample_sql(spark, sf_dir):
     return kept.select("doc_id", "lang")
 
 
+def q30_canonical_docs_sql(spark, sf_dir):
+    """The dedup pipeline CAPSTONE hash-exact oracle: q23's deterministic
+    token corpus through the PRODUCTION `minhash_lsh_pairs` → PRODUCTION
+    `canonical_docs` (hash-min components → per-group max-quality keeper,
+    ties → min id) vs DuckDB's brute-force Jaccard pairs → recursive
+    transitive closure → window argmax. Quality is a deterministic
+    small-integer quotient ((doc_id DIV 2)*37 % 101)/100 so both engines
+    hold bit-identical doubles, AND consecutive ids share quality —
+    within the {4g, 4g+1, 4g+2} triangles the (quality, -id) tie-break
+    path is genuinely exercised, not just the argmax."""
+    from wayproblems_spark.operators.components import canonical_docs
+    from wayproblems_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    g = F.expr("doc_id DIV 4")
+    m = F.expr("doc_id % 4")
+
+    def tok(i):
+        return F.concat(F.lit("w"), (g * 64 + i).cast("string"))
+
+    def toks(lo, hi):
+        return F.transform(F.sequence(F.lit(lo), F.lit(hi - 1)), tok)
+
+    arr = (
+        F.when(m == 2, F.concat(toks(0, 18), toks(40, 42)))
+        .when(m == 3, F.concat(toks(0, 10), toks(50, 60)))
+        .otherwise(toks(0, 20))
+    )
+    d = docs.select("doc_id", F.array_join(arr, " ").alias("text"))
+    pairs = minhash_lsh_pairs(
+        d, k=1, num_hashes=64, bands=32, jaccard_threshold=0.8
+    )
+    withq = docs.select(
+        "doc_id",
+        (F.expr("CAST((doc_id DIV 2) * 37 % 101 AS DOUBLE)") / 100.0).alias(
+            "quality"
+        ),
+    )
+    return canonical_docs(withq, pairs).select("doc_id", "keeper_id", "kept")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full wayproblems pipeline on the deterministic fixture
     corpus (pages → extract → geoparse → resolve → 230-site rule engine)."""
@@ -1571,6 +1656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_access_combinations_sql": q27_access_combinations_sql,
         "q28_binary_sniff_sql": q28_binary_sniff_sql,
         "q29_stratified_sample_sql": q29_stratified_sample_sql,
+        "q30_canonical_docs_sql": q30_canonical_docs_sql,
         "r01_wayproblems_problems": r01_wayproblems_problems,
         "r02_wayproblems_stdout": r02_wayproblems_stdout,
         "r03_tile_counts": r03_tile_counts,

@@ -82,3 +82,24 @@ def test_components_raises_on_nonconvergence(spark):
     # and with enough rounds the same chain is one component
     out = connected_components(chain, max_iter=20)
     assert {r["component_id"] for r in out.collect()} == {0}
+
+
+def test_canonical_docs_quality_argmax_and_ties(spark):
+    """Keeper = max quality per group; exact ties -> min id; singletons
+    keep themselves; `kept` true exactly once per group."""
+    from wayproblems_spark.operators.components import canonical_docs
+
+    docs = spark.createDataFrame(
+        [
+            (1, 0.5), (4, 0.9), (7, 0.9),   # group {1,4,7}: tie 4/7 -> 4
+            (2, 0.1), (9, 0.8),             # group {2,9}: 9 wins over min-id 2
+            (3, 0.0),                       # singleton
+        ],
+        "doc_id long, quality double",
+    )
+    pairs = spark.createDataFrame([(1, 4), (4, 7), (2, 9)], "a long, b long")
+    rows = canonical_docs(docs, pairs).collect()
+    keeper = {r["doc_id"]: r["keeper_id"] for r in rows}
+    kept = {r["doc_id"]: r["kept"] for r in rows}
+    assert keeper == {1: 4, 4: 4, 7: 4, 2: 9, 9: 9, 3: 3}
+    assert kept == {1: False, 4: True, 7: False, 2: False, 9: True, 3: True}

@@ -111,3 +111,54 @@ def near_dup_groups(
             F.coalesce("component_id", F.col(id_col)).alias("keeper_id"),
         )
     )
+
+
+def canonical_docs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """The full corpus-dedup KEEP decision: per near-dup group, keep the
+    max-``quality_col`` document (ties → min id); singletons keep
+    themselves. Returns (id_col, keeper_id, kept).
+
+    This is what a training pipeline actually ships — ``near_dup_groups``
+    labels groups with the min ID, but the canonical representative should
+    be the BEST document (longest, cleanest, highest quality score), not
+    the one with the smallest key.
+
+    Scale shape: components as in :func:`connected_components`; the
+    argmax is one (group_id) hash aggregate of a (quality, -id) struct max
+    — map-side partial, no window over the corpus — then a broadcast-sized
+    join back (one row per GROUP, ≪ docs)."""
+    comp = connected_components(pairs, a_col, b_col, max_iter)
+    labeled = (
+        docs.select(F.col(id_col), F.col(quality_col))
+        .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col(quality_col),
+            F.coalesce("component_id", F.col(id_col)).alias("_gid"),
+        )
+    )
+    best = labeled.groupBy("_gid").agg(
+        F.max(
+            F.struct(
+                F.col(quality_col).alias("q"),
+                (-F.col(id_col).cast("long")).alias("nid"),
+            )
+        ).alias("_m")
+    )
+    keepers = best.select("_gid", (-F.col("_m.nid")).alias("keeper_id"))
+    return (
+        labeled.join(keepers, "_gid")
+        .select(
+            F.col(id_col),
+            F.col("keeper_id"),
+            (F.col(id_col) == F.col("keeper_id")).alias("kept"),
+        )
+    )
