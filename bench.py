@@ -775,8 +775,13 @@ def main_scaling():
         else None,
         "wall": round((t8 / t32) / 4.0, 3),
     }
-    # time-ratio efficiencies for the one-time build legs + the controls
-    for leg in ("knn_build", "pip_build", "control_arith", "control_scan", "control_mix"):
+    # time-ratio efficiencies for the one-time build legs, the controls,
+    # and the webtext/LLM-pipeline legs (dedup + ANN) — the scaling table
+    # should evidence BOTH operator families, not just the spatial one
+    for leg in (
+        "knn_build", "pip_build", "control_arith", "control_scan",
+        "control_mix", "minhash_dedup", "ann_ivf_build", "ann_ivf_topk",
+    ):
         if leg in r8.get("queries", {}) and leg in r32.get("queries", {}):
             eff[leg] = round((r8["queries"][leg] / r32["queries"][leg]) / 4.0, 3)
     stable = r8["fingerprints"] == r32["fingerprints"]
@@ -834,6 +839,24 @@ def main_scaling():
                 f"| pip_build (one-time index: driver covers + broadcast persist) | "
                 f"{r8['queries']['pip_build']}s | {r32['queries']['pip_build']}s | "
                 f"{eff['pip_build']} |\n"
+            )
+        if eff.get("minhash_dedup") is not None:
+            f.write(
+                f"| minhash near-dup (shingle→64-min sig→band join→Jaccard verify) | "
+                f"{r8['queries']['minhash_dedup']}s | {r32['queries']['minhash_dedup']}s | "
+                f"{eff['minhash_dedup']} |\n"
+            )
+        if eff.get("ann_ivf_topk") is not None:
+            f.write(
+                f"| ANN IVF top-k (per-query-batch: nprobe join + einsum re-rank) | "
+                f"{r8['queries']['ann_ivf_topk']}s | {r32['queries']['ann_ivf_topk']}s | "
+                f"{eff['ann_ivf_topk']} |\n"
+            )
+        if eff.get("ann_ivf_build") is not None:
+            f.write(
+                f"| ANN IVF build (one-time corpus list assignment) | "
+                f"{r8['queries']['ann_ivf_build']}s | {r32['queries']['ann_ivf_build']}s | "
+                f"{eff['ann_ivf_build']} |\n"
             )
         f.write("\nPer-leg wall seconds (warm = steady-state min of 2 reps; cold = first\n")
         f.write("run incl. one-time codegen JIT / AQE planning, which amortizes to zero\n")
