@@ -754,6 +754,11 @@ ORACLE = {
     # identical token counts; ROUND(6) mirrors the production operator.
     # lang argmax tie-break = lexicographically-largest code (Spark
     # greatest() over (hits, code) structs) → probe fr, es, en, de.
+    # Known engine-delta edge: Java-regex \s includes vertical tab \x0B,
+    # RE2/DuckDB \s does not — a fixture document containing \x0B would
+    # tokenize differently. The frozen seed-42 corpus contains none
+    # (verified at sf0.001/0.01/0.1); this row is fixture-content-
+    # dependent in that one respect.
     "q26_doc_quality_sql": """
         WITH t AS (
           SELECT doc_id, text,
@@ -816,18 +821,16 @@ ORACLE = {
         FROM w WHERE m8 < 7
     """,
     # Expected sniff label + byte length closed-form: the blob is a known
-    # magic prefix (by doc_id residue) + the UTF-8 text; residue 4's \x00
-    # lead byte guarantees 'bin' (no magic starts with NUL). Verified at
-    # sf0.01 that no document's bytes alias a magic at a probe offset.
+    # magic prefix zero-padded to EXACTLY 12 bytes (the farthest probe
+    # window ends at byte 12) + the UTF-8 text, so the label is a pure
+    # function of the residue for ANY fixture content — no document byte
+    # can reach a probe offset.
     "q28_binary_sniff_sql": """
         SELECT doc_id,
                CASE doc_id % 6 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
                                WHEN 2 THEN 'wav'  WHEN 3 THEN 'pdf'
                                WHEN 4 THEN 'bin'  ELSE 'gzip' END AS format,
-               CAST(octet_length(encode(text)) +
-                    (CASE doc_id % 6 WHEN 0 THEN 3 WHEN 1 THEN 8
-                                     WHEN 2 THEN 12 WHEN 3 THEN 4
-                                     WHEN 4 THEN 1 ELSE 2 END) AS BIGINT) AS n_bytes
+               CAST(octet_length(encode(text)) + 12 AS BIGINT) AS n_bytes
         FROM documents
     """,
     # Keep decision replicated in hex-string space: 8-char lowercase md5
@@ -886,6 +889,35 @@ ORACLE = {
         keep AS (SELECT gid, doc_id AS keeper_id FROM ranked WHERE rn = 1)
         SELECT q.doc_id, k.keeper_id, q.doc_id = k.keeper_id AS kept
         FROM q JOIN keep k USING (gid)
+    """,
+    # Expected image metadata closed-form from the synthesis parameters:
+    # valid rows (doc_id % 7 != 0) echo the residue dims; corrupt-magic
+    # rows → NULL format / zero dims / false; n_bytes = 12-byte header +
+    # UTF-8 text length either way.
+    "q31_image_metadata_sql": """
+        SELECT doc_id AS id,
+               CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 'fimg' END AS format,
+               CAST(CASE WHEN doc_id % 7 = 0 THEN 0
+                         ELSE doc_id % 1920 + 1 END AS INTEGER) AS width,
+               CAST(CASE WHEN doc_id % 7 = 0 THEN 0
+                         ELSE doc_id % 1080 + 1 END AS INTEGER) AS height,
+               CAST(12 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               doc_id % 7 <> 0 AS valid
+        FROM documents
+    """,
+    # Vocabulary top-k: same normalization (strip non-alnum, lower,
+    # whitespace split, drop empties), total (n DESC, term ASC) order.
+    "q32_vocab_topk_sql": """
+        WITH toks AS (
+          SELECT unnest(list_filter(
+                   string_split_regex(
+                     regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                     '\\s+'),
+                   x -> x <> '')) AS term
+          FROM documents),
+        c AS (SELECT term, count(*) AS n FROM toks GROUP BY term)
+        SELECT term, CAST(n AS BIGINT) AS n FROM c
+        ORDER BY n DESC, term ASC LIMIT 25
     """,
 }
 
@@ -1520,8 +1552,9 @@ def q28_binary_sniff_sql(spark, sf_dir):
     """Binary-content family hash-exact oracle row: the PRODUCTION
     `byte_stats` (operators/binaryops.py — JVM magic-byte CASE sniffer +
     Arrow-batched entropy pass) over blobs synthesized deterministically
-    from documents (real magic prefixes by doc_id residue; residue 4 gets
-    a \\x00 lead byte so plain text can never alias a magic) vs DuckDB
+    from documents (real magic prefixes by doc_id residue, every prefix
+    zero-padded to 12 bytes so text can never alias a magic at any probe
+    offset — scale/fixture-independent) vs DuckDB
     computing the expected label and byte length closed-form
     (octet_length of the UTF-8 text + prefix length). Exercises the full
     mapInPandas plumbing; the float columns (entropy/printable) stay
@@ -1531,13 +1564,17 @@ def q28_binary_sniff_sql(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     m6 = F.pmod("doc_id", 6)
+    # every prefix is padded to EXACTLY 12 bytes — the farthest probe
+    # window (WEBP/WAVE at offset 8..12) ends at byte 12, so document
+    # text can never alias a magic at any probe offset regardless of
+    # scale factor or fixture content; \x00 padding matches no magic
     prefix = (
-        F.when(m6 == 0, F.lit(bytearray(b"\xff\xd8\xff")))
-        .when(m6 == 1, F.lit(bytearray(b"\x89PNG\r\n\x1a\n")))
+        F.when(m6 == 0, F.lit(bytearray(b"\xff\xd8\xff" + b"\x00" * 9)))
+        .when(m6 == 1, F.lit(bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4)))
         .when(m6 == 2, F.lit(bytearray(b"RIFF\x00\x00\x00\x00WAVE")))
-        .when(m6 == 3, F.lit(bytearray(b"%PDF")))
-        .when(m6 == 4, F.lit(bytearray(b"\x00")))
-        .otherwise(F.lit(bytearray(b"\x1f\x8b")))
+        .when(m6 == 3, F.lit(bytearray(b"%PDF" + b"\x00" * 8)))
+        .when(m6 == 4, F.lit(bytearray(b"\x00" * 12)))
+        .otherwise(F.lit(bytearray(b"\x1f\x8b" + b"\x00" * 10)))
     )
     blobs = d.select(
         "doc_id",
@@ -1612,6 +1649,51 @@ def q30_canonical_docs_sql(spark, sf_dir):
     return canonical_docs(withq, pairs).select("doc_id", "keeper_id", "kept")
 
 
+def q31_image_metadata_sql(spark, sf_dir):
+    """Multimodal plumbing hash-exact oracle: the PRODUCTION
+    `image_metadata` (operators/multimodal.py — mapInPandas Arrow batches,
+    struct-unpacked fake header; the decode body is the documented stub,
+    the plumbing is the real contract) over blobs whose FIMG header is
+    synthesized with correct little-endian width/height (JVM byte-swap of
+    the residue dims) plus a corrupted-magic class every 7th doc — vs
+    DuckDB computing the expected metadata closed-form from the synthesis
+    parameters (valid rows echo the dims; corrupt rows → NULL format,
+    zero dims, valid=false; n_bytes counts the whole blob either way)."""
+    from wayproblems_spark.operators.multimodal import image_metadata
+
+    d = _t(spark, sf_dir, "documents")
+    w = F.pmod("doc_id", 1920) + 1
+    h = F.pmod("doc_id", 1080) + 1
+
+    def le32(col):
+        # little-endian byte order of a value < 2^16, as 8 hex digits
+        # (cast to long BEFORE the 2^24 multiply — int32 would overflow)
+        v = (
+            F.pmod(col, 256).cast("long") * 16777216
+            + F.floor(col / 256).cast("long") * 65536
+        )
+        return F.to_binary(F.lpad(F.hex(v), 8, "0"), F.lit("hex"))
+
+    magic = F.when(F.pmod("doc_id", 7) == 0, F.lit(b"XIMG")).otherwise(
+        F.lit(b"FIMG")
+    )
+    blob = F.concat(magic, le32(w), le32(h), F.encode("text", "UTF-8"))
+    imgs = d.select(F.col("doc_id").alias("id"), blob.alias("blob"))
+    return image_metadata(imgs)
+
+
+def q32_vocab_topk_sql(spark, sf_dir):
+    """Vocabulary-build hash-exact oracle: the PRODUCTION `vocab_topk`
+    (operators/textstats.py — explode → map-side-combined count →
+    TakeOrderedAndProject top-k with deterministic (n DESC, term ASC)
+    ties) vs DuckDB unnest + count + ORDER BY + LIMIT. The ordering is
+    total, so the k-boundary is deterministic in both engines."""
+    from wayproblems_spark.operators.textstats import vocab_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return vocab_topk(d, 25)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full wayproblems pipeline on the deterministic fixture
     corpus (pages → extract → geoparse → resolve → 230-site rule engine)."""
@@ -1657,6 +1739,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_binary_sniff_sql": q28_binary_sniff_sql,
         "q29_stratified_sample_sql": q29_stratified_sample_sql,
         "q30_canonical_docs_sql": q30_canonical_docs_sql,
+        "q31_image_metadata_sql": q31_image_metadata_sql,
+        "q32_vocab_topk_sql": q32_vocab_topk_sql,
         "r01_wayproblems_problems": r01_wayproblems_problems,
         "r02_wayproblems_stdout": r02_wayproblems_stdout,
         "r03_tile_counts": r03_tile_counts,

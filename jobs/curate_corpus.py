@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Corpus-curation pipeline: the webtext ops composed end-to-end.
+
+    spark-submit --py-files wayproblems_spark.zip jobs/curate_corpus.py \
+        --docs /data/documents_parquet --out /data/curated \
+        [--min-quality 0.5] [--sample-rate 1.0] [--lang-rates en=0.5,de=1.0] \
+        [--jaccard 0.8] [--vocab-k 1000]
+
+One pass over a documents table (doc_id, text, lang, ...) producing the
+standard training-data curation artifacts:
+
+  out/curated/     kept documents + their stats columns, parquet
+  out/decisions/   (doc_id, keeper_id, kept) for every doc that SURVIVED
+                   filtering (audit trail for the dedup decision)
+  out/vocab/       top-k vocabulary of the curated corpus
+  out/stats.json   stage-by-stage row counts (the funnel)
+
+Stages (each a documented operator with its own oracle/test coverage):
+  1. quality gate   — `document_stats` (textstats.py), keep
+                      quality >= --min-quality          [q26 oracle]
+  2. sampling       — `stratified_sample` (sampling.py), per-lang rates,
+                      md5-keyed so re-runs/appends agree [q29 oracle]
+  3. near-dup dedup — `minhash_lsh_pairs` (dedup.py)     [q21 oracle]
+  4. keep decision  — `canonical_docs` (components.py): per-group
+                      max-quality keeper                  [q30 oracle]
+  5. vocabulary     — `vocab_topk` (textstats.py)         [q32 oracle]
+
+Scale shape: stages 1–2 are codegen filters on the scan; stage 3 is the
+banded LSH (id-only band shuffle, capped buckets); stage 4 is hash-min
+components over pairs (≪ docs) + one group-sized join; stage 5 is a
+map-side-combined count + per-task top-k heap. Nothing collects to the
+driver except the funnel counts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_rates(s: str) -> dict[str, float]:
+    if not s:
+        return {}
+    out = {}
+    for part in s.split(","):
+        k, v = part.split("=", 1)
+        out[k.strip()] = float(v)
+    return out
+
+
+def curate(
+    spark,
+    docs,
+    min_quality: float = 0.5,
+    sample_rate: float = 1.0,
+    lang_rates: dict[str, float] | None = None,
+    jaccard: float = 0.8,
+    vocab_k: int = 1000,
+    salt: str = "curate",
+):
+    """Run the funnel; returns (curated_df, decisions_df, vocab_df, stats).
+
+    curated_df carries the doc columns + stats columns for kept docs;
+    decisions_df is the full (doc_id, keeper_id, kept) audit for every
+    doc that survived stages 1–2."""
+    from pyspark.sql import functions as F
+
+    from wayproblems_spark.operators.components import canonical_docs
+    from wayproblems_spark.operators.dedup import minhash_lsh_pairs
+    from wayproblems_spark.operators.sampling import stratified_sample
+    from wayproblems_spark.operators.textstats import document_stats, vocab_topk
+
+    stats = {"input": docs.count()}
+
+    staged = document_stats(docs).filter(F.col("quality") >= min_quality)
+    stats["after_quality"] = staged.count()
+
+    staged = stratified_sample(
+        staged, "doc_id", "lang", lang_rates or {}, default_rate=sample_rate,
+        salt=salt,
+    )
+    # the funnel's survivors feed dedup twice (pairs + decision join) and
+    # the final write — persist once; caller unpersists via curated_df
+    staged = staged.persist()
+    stats["after_sampling"] = staged.count()
+
+    tp: list = []
+    pairs = minhash_lsh_pairs(
+        staged, jaccard_threshold=jaccard, track_persists=tp
+    )
+    decisions = canonical_docs(staged, pairs, quality_col="quality")
+    curated = staged.join(
+        decisions.filter(F.col("kept")).select("doc_id"), "doc_id"
+    )
+    vocab = vocab_topk(curated, vocab_k)
+    return curated, decisions, vocab, stats, (staged, tp)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--min-quality", type=float, default=0.5)
+    ap.add_argument("--sample-rate", type=float, default=1.0)
+    ap.add_argument("--lang-rates", default="")
+    ap.add_argument("--jaccard", type=float, default=0.8)
+    ap.add_argument("--vocab-k", type=int, default=1000)
+    ap.add_argument("--cpus", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    from wayproblems_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="curate-corpus",
+        master=f"local[{args.cpus}]" if args.cpus else None,
+    )
+    docs = spark.read.parquet(args.docs)
+    curated, decisions, vocab, stats, (staged, tp) = curate(
+        spark,
+        docs,
+        min_quality=args.min_quality,
+        sample_rate=args.sample_rate,
+        lang_rates=parse_rates(args.lang_rates),
+        jaccard=args.jaccard,
+        vocab_k=args.vocab_k,
+    )
+    curated.write.mode("overwrite").parquet(os.path.join(args.out, "curated"))
+    decisions.write.mode("overwrite").parquet(os.path.join(args.out, "decisions"))
+    vocab.write.mode("overwrite").parquet(os.path.join(args.out, "vocab"))
+    stats["curated"] = spark.read.parquet(os.path.join(args.out, "curated")).count()
+    with open(os.path.join(args.out, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=1)
+    for fr in tp:
+        fr.unpersist()
+    staged.unpersist()
+    print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,93 @@
+"""End-to-end corpus-curation job (jobs/curate_corpus.py): the webtext
+operators composed — quality gate → stratified sample → minhash dedup →
+max-quality keep decision → vocabulary."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+_STOP = "the and of to in is that for with it"  # 10 stopword tokens
+
+
+def _corpus(spark):
+    """72 docs: 20 triplet groups — base (15 tokens), an exact dup, and a
+    17-token variant (word-shingle J = 11/13 ≈ 0.846 ≥ 0.8) whose extra
+    length gives it the strictly highest quality score (len_ok 0.85 vs
+    0.75 → quality 0.955 vs 0.925) — plus 12 junk docs the quality gate
+    drops (single short token, no stopwords → quality ≈ 0.42 < 0.5)."""
+    rows = []
+    for g in range(20):
+        base = _STOP + " " + " ".join(f"w{g}t{i}" for i in range(5))
+        rows.append((3 * g, base, "en"))
+        rows.append((3 * g + 1, base, "en"))          # exact dup (J = 1)
+        rows.append((3 * g + 2, base + " extra tail", "de"))  # best quality
+    for j in range(12):
+        rows.append((1000 + j, "xxx", "zh"))
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_curate_funnel_and_decisions(spark, tmp_path):
+    from curate_corpus import curate
+
+    docs = _corpus(spark)
+    curated, decisions, vocab, stats, (staged, tp) = curate(
+        spark, docs, min_quality=0.5, jaccard=0.8, vocab_k=50
+    )
+    dec = decisions.collect()
+    cur = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    voc = vocab.collect()
+    for fr in tp:
+        fr.unpersist()
+    staged.unpersist()
+
+    # funnel: junk dropped by quality, nothing dropped by sampling (rate 1)
+    assert stats["input"] == 72
+    assert stats["after_quality"] == 60
+    assert stats["after_sampling"] == 60
+    # dedup decision: exactly one kept per group
+    by_keeper: dict[int, list] = {}
+    for r in dec:
+        by_keeper.setdefault(r["keeper_id"], []).append(r)
+    assert sum(1 for r in dec if r["kept"]) == len(by_keeper)
+    # every triplet collapses to one group whose keeper is the strictly
+    # highest-quality member (the 17-token residue-2 doc)
+    triplets = [ms for ms in by_keeper.values() if len(ms) == 3]
+    assert len(triplets) == 20
+    for ms in triplets:
+        keeper = next(m["doc_id"] for m in ms if m["kept"])
+        assert keeper % 3 == 2
+    # curated == kept decisions
+    assert cur == {r["doc_id"] for r in dec if r["kept"]}
+    # vocab over the 20 kept docs: "the" appears once per keeper
+    top_terms = {r["term"]: r["n"] for r in voc}
+    assert top_terms["the"] == 20
+
+
+def test_curate_cli_smoke(spark, tmp_path):
+    from curate_corpus import main
+
+    docs_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "out")
+    _corpus(spark).write.parquet(docs_dir)
+    rc = main(
+        [
+            "--docs", docs_dir, "--out", out_dir,
+            "--min-quality", "0.5", "--lang-rates", "zh=1.0",
+            "--vocab-k", "25",
+        ]
+    )
+    assert rc == 0
+    stats = json.load(open(os.path.join(out_dir, "stats.json")))
+    assert stats["curated"] < stats["after_sampling"] <= stats["input"]
+    assert spark.read.parquet(os.path.join(out_dir, "vocab")).count() == 25
+    kept = spark.read.parquet(os.path.join(out_dir, "curated"))
+    assert kept.count() == stats["curated"]
+    assert "quality" in kept.columns

@@ -162,3 +162,46 @@ def test_dedup_state_compaction(spark, tmp_path):
             if n.startswith("batch_id=")
         }
         assert parts == {"batch_id=-1", "batch_id=2"}
+
+
+def test_dedup_state_compaction_crash_resume(spark, tmp_path):
+    """Simulate a compaction that crashed between phase 2 (partition
+    deletes) and phase 3 (staged-file move): the staging dir holds every
+    folded row with _SUCCESS, one source partition is already gone. The
+    next compact_dedup_state call must restore the full row content and
+    leave the same end state as an uncrashed fold."""
+    import shutil
+
+    from wayproblems_spark.streaming.dedup_stream import compact_dedup_state
+
+    docs = _corpus(spark).toPandas().sort_values("doc_id").reset_index(drop=True)
+    k = len(docs) // 2
+    state = str(tmp_path / "state")
+    fb = dedup_foreach_batch(state, jaccard_threshold=0.5)
+    fb(spark.createDataFrame(docs.iloc[:k]), 0)
+    fb(spark.createDataFrame(docs.iloc[k:]), 1)
+
+    dpath = os.path.join(state, "docs")
+    before = sorted(
+        map(tuple, spark.read.parquet(dpath).drop("batch_id").collect())
+    )
+    # phase 1 by hand (what a crashed call left behind)
+    df = spark.read.parquet(dpath)
+    df.filter("batch_id < 2").drop("batch_id").repartition(2, "_id").write.mode(
+        "overwrite"
+    ).parquet(dpath + "._compact_2")
+    # phase-2 partial crash: one committed partition already deleted
+    shutil.rmtree(os.path.join(dpath, "batch_id=0"))
+    assert sorted(
+        map(tuple, spark.read.parquet(dpath).drop("batch_id").collect())
+    ) != before  # state really is inconsistent now
+
+    compact_dedup_state(spark, state, horizon_batch_id=2)
+
+    after = sorted(
+        map(tuple, spark.read.parquet(dpath).drop("batch_id").collect())
+    )
+    assert after == before
+    parts = {n for n in os.listdir(dpath) if n.startswith("batch_id=")}
+    assert parts == {"batch_id=-1"}
+    assert not any("._compact" in n for n in os.listdir(state))

@@ -91,6 +91,31 @@ def connected_components(
     return labels.select(F.col("v").alias("id"), F.col("label").alias("component_id"))
 
 
+def _group_labels(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    a_col: str,
+    b_col: str,
+    max_iter: int,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id_col, *extra_cols, _gid): every doc labeled with its component's
+    min id; docs in no pair label themselves. Shared by near_dup_groups
+    and canonical_docs (which passes a precomputed frame through
+    ``groups=`` instead of running components twice)."""
+    comp = connected_components(pairs, a_col, b_col, max_iter)
+    return (
+        docs.select(F.col(id_col), *[F.col(c) for c in extra_cols])
+        .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in extra_cols],
+            F.coalesce("component_id", F.col(id_col)).alias("_gid"),
+        )
+    )
+
+
 def near_dup_groups(
     docs: DataFrame,
     pairs: DataFrame,
@@ -102,14 +127,8 @@ def near_dup_groups(
     """(doc_id, keeper_id): documents connected through near-dup pairs
     share the min-id keeper; documents in no pair keep themselves. The
     standard dedup decision step after minhash_lsh/simhash/ANN pairs."""
-    comp = connected_components(pairs, a_col, b_col, max_iter)
-    return (
-        docs.select(F.col(id_col))
-        .join(comp.withColumnRenamed("id", id_col), id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("component_id", F.col(id_col)).alias("keeper_id"),
-        )
+    return _group_labels(docs, pairs, id_col, a_col, b_col, max_iter).select(
+        F.col(id_col), F.col("_gid").alias("keeper_id")
     )
 
 
@@ -135,15 +154,8 @@ def canonical_docs(
     argmax is one (group_id) hash aggregate of a (quality, -id) struct max
     — map-side partial, no window over the corpus — then a broadcast-sized
     join back (one row per GROUP, ≪ docs)."""
-    comp = connected_components(pairs, a_col, b_col, max_iter)
-    labeled = (
-        docs.select(F.col(id_col), F.col(quality_col))
-        .join(comp.withColumnRenamed("id", id_col), id_col, "left")
-        .select(
-            F.col(id_col),
-            F.col(quality_col),
-            F.coalesce("component_id", F.col(id_col)).alias("_gid"),
-        )
+    labeled = _group_labels(
+        docs, pairs, id_col, a_col, b_col, max_iter, extra_cols=(quality_col,)
     )
     best = labeled.groupBy("_gid").agg(
         F.max(

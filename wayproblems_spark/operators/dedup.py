@@ -124,6 +124,12 @@ def minhash_lsh(
     materialization instead of three. ``track_persists`` (the knn
     pattern): pass a list to receive the persisted frame so long-running
     repeated callers can unpersist it after consuming the result.
+    Callers that skip it accept one cached frame per call for the session
+    (fine for one-shot jobs; Spark's CacheManager holds a strong
+    reference, so a repeated caller MUST pass it — and note the
+    CacheManager serves identical logical plans from cache, so two calls
+    over a re-written parquet path would silently reuse the first call's
+    shingles unless the first frame was unpersisted).
 
     Scale shape (the round-1 design shuffled full shingle arrays through
     all bands and collect_list'd whole buckets before capping — an OOM

@@ -94,6 +94,30 @@ def fingerprint(text_col) -> Column:
     )
 
 
+def term_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(term, n) corpus-wide term frequencies over the normalized
+    whitespace tokens. explode → hash aggregate: the explosion feeds a
+    map-side partial count, so the shuffle carries one row per DISTINCT
+    term per task, not per token occurrence — the standard vocabulary-
+    build shape at corpus scale."""
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", ""), r"\s+"),
+        lambda t: t != "",
+    )
+    return (
+        df.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def vocab_topk(df: DataFrame, k: int, text_col: str = "text") -> DataFrame:
+    """Top-k vocabulary by frequency, deterministic ties (term asc).
+    orderBy+limit plans as TakeOrderedAndProject — each task keeps a
+    k-row heap, the driver merges |tasks|·k rows; no global sort."""
+    return term_counts(df, text_col).orderBy(F.desc("n"), F.asc("term")).limit(k)
+
+
 def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return df.withColumns(

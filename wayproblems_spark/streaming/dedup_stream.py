@@ -219,44 +219,43 @@ def compact_dedup_state(
     table and removes them — row content identical, probe plans flat.
 
     Exactly-once contract: ``horizon_batch_id`` MUST be at most the
-    stream's last CHECKPOINT-COMMITTED batch id. Structured Streaming
-    only ever replays the batch(es) after the committed offset, so no
-    replayed ``batch_id`` can collide with a compacted one (a collision
-    would double the batch's rows in state — once under ``batch_id=-1``,
-    once under its rewritten own partition). The compacted partition uses
-    ``-1`` because real batch ids are non-negative, so every probe's
-    ``batch_id != current`` filter keeps matching it.
+    stream's last CHECKPOINT-COMMITTED batch id, and the stream must be
+    IDLE (between micro-batches, or stopped) while this runs — a batch in
+    flight plans its state scan lazily and would see partitions appear
+    and disappear mid-read. Structured Streaming only ever replays the
+    batch(es) after the committed offset, so no replayed ``batch_id`` can
+    collide with a compacted one (a collision would double the batch's
+    rows in state — once under ``batch_id=-1``, once under its rewritten
+    own partition). The compacted partition uses ``-1`` because real
+    batch ids are non-negative, so every probe's ``batch_id != current``
+    filter keeps matching it.
+
+    Crash safety (write-ahead staging): the fold runs in three phases —
+    (1) write ALL surviving rows (old partitions plus any existing
+    ``batch_id=-1``) to a ``._compact`` staging dir (Spark leaves a
+    ``_SUCCESS`` marker), (2) delete the folded partitions, (3) move the
+    staged files into ``batch_id=-1``. A crash before (2) leaves state
+    untouched (stale staging is overwritten next time); a crash during
+    (2)/(3) leaves a staging dir WITH ``_SUCCESS`` holding every folded
+    row — the next call detects it and completes phases (2)+(3) before
+    doing anything else, so no row is ever lost and no row is ever
+    doubled (old partitions are gone before ``batch_id=-1`` is
+    populated; probes in the crash window see a smaller corpus until the
+    resume, never duplicates).
 
     Returns {"docs": rows_compacted, "buckets": rows_compacted}.
     """
     import shutil
 
-    from pyspark.sql import functions as SF
-
-    out = {}
-    for sub, keys in (("docs", ["_id"]), ("buckets", ["band", "sig"])):
-        path = os.path.join(state_dir, sub)
-        if not os.path.exists(path):
-            out[sub] = 0
-            continue
-        df = spark.read.parquet(path)
-        old = df.filter(SF.col("batch_id") < horizon_batch_id)
-        n = old.count()
-        out[sub] = n
-        if n == 0:
-            continue
-        staging = path + "._compact"
-        (
-            old.drop("batch_id")
-            .repartition(n_files, *keys)
-            .write.mode("overwrite")
-            .parquet(staging)
-        )
+    def _finish(path: str, staging: str, horizon: int) -> None:
+        # phases (2)+(3): delete the partitions this staging folded
+        # (exactly those < the horizon ENCODED IN THE STAGING DIR NAME —
+        # a resume must not delete partitions a crashed call never
+        # staged), then move the staged files in. Idempotent.
         for name in os.listdir(path):
             if not name.startswith("batch_id="):
                 continue
-            bid = int(name.split("=", 1)[1])
-            if bid < horizon_batch_id:
+            if int(name.split("=", 1)[1]) < horizon:
                 shutil.rmtree(os.path.join(path, name))
         dest = os.path.join(path, "batch_id=-1")
         os.makedirs(dest, exist_ok=True)
@@ -264,4 +263,39 @@ def compact_dedup_state(
             if name.endswith(".parquet"):
                 shutil.move(os.path.join(staging, name), os.path.join(dest, name))
         shutil.rmtree(staging)
+
+    out = {}
+    for sub, keys in (("docs", ["_id"]), ("buckets", ["band", "sig"])):
+        path = os.path.join(state_dir, sub)
+        if not os.path.exists(path):
+            out[sub] = 0
+            continue
+        parent, base = os.path.dirname(path), os.path.basename(path)
+        for name in os.listdir(parent):
+            if not name.startswith(base + "._compact_"):
+                continue
+            stale = os.path.join(parent, name)
+            if os.path.exists(os.path.join(stale, "_SUCCESS")):
+                # crash-resume: a previous call staged everything but
+                # died before finishing — complete ITS fold (at ITS
+                # horizon, parsed from the dir name) first, restoring a
+                # consistent state before this call re-folds
+                _finish(path, stale, int(name.rsplit("_", 1)[1]))
+            else:
+                shutil.rmtree(stale)  # phase-1 crash: state untouched
+        df = spark.read.parquet(path)
+        old = df.filter(F.col("batch_id") < horizon_batch_id)
+        n = old.count()
+        out[sub] = n
+        if n == 0:
+            continue
+        # phase (1): stage every surviving row (incl. any existing -1)
+        staging = f"{path}._compact_{horizon_batch_id}"
+        (
+            old.drop("batch_id")
+            .repartition(n_files, *keys)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        _finish(path, staging, horizon_batch_id)
     return out
