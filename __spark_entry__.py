@@ -919,6 +919,25 @@ ORACLE = {
         SELECT term, CAST(n AS BIGINT) AS n FROM c
         ORDER BY n DESC, term ASC LIMIT 25
     """,
+    # int8 quantization closed-form: f32→f64 cast exact, scale = max|v|/127
+    # (1.0 when all-zero), qv = clamp(floor(v/scale + 0.5), ±127). DuckDB
+    # lists are 1-indexed: pos = i, value = e[i+1] over i in 0..63.
+    "q33_quantize_int8_sql": """
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        s AS (
+          SELECT vec_id, e,
+                 CASE WHEN list_max(list_transform(e, x -> abs(x))) = 0.0
+                      THEN 1.0
+                      ELSE list_max(list_transform(e, x -> abs(x))) / 127.0
+                 END AS scale
+          FROM v)
+        SELECT vec_id, ROUND(scale, 9) AS scale_r9,
+               CAST(i AS INTEGER) AS pos,
+               CAST(greatest(-127, least(127, floor(e[i + 1] / scale + 0.5)))
+                    AS INTEGER) AS qv
+        FROM s CROSS JOIN (SELECT unnest(range(64)) AS i) t
+    """,
 }
 
 
@@ -1694,6 +1713,31 @@ def q32_vocab_topk_sql(spark, sf_dir):
     return vocab_topk(d, 25)
 
 
+def q33_quantize_int8_sql(spark, sf_dir):
+    """Embedding int8-quantization hash-exact oracle: the PRODUCTION
+    `quantize_int8` (operators/similarity.py — per-vector symmetric
+    scale, floor(x/scale + 0.5) half-up rounding, ±127 clamp) exploded to
+    (vec_id, pos, qv) rows vs DuckDB recomputing closed-form over the
+    same f64-cast vectors. Every step is IEEE +,*,/,floor on identical
+    inputs — bit-identical in both engines; floor(x+0.5) was chosen over
+    engine round() precisely because the two engines' round() tie rules
+    differ (numpy banker's vs half-away) while floor is floor."""
+    from wayproblems_spark.operators.similarity import quantize_int8
+
+    e = _t(spark, sf_dir, "embeddings")
+    qdf = quantize_int8(e)
+    return qdf.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale_r9"),
+        F.posexplode("q"),
+    ).select(
+        "vec_id",
+        "scale_r9",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("col").cast("int").alias("qv"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full wayproblems pipeline on the deterministic fixture
     corpus (pages → extract → geoparse → resolve → 230-site rule engine)."""
@@ -1741,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_canonical_docs_sql": q30_canonical_docs_sql,
         "q31_image_metadata_sql": q31_image_metadata_sql,
         "q32_vocab_topk_sql": q32_vocab_topk_sql,
+        "q33_quantize_int8_sql": q33_quantize_int8_sql,
         "r01_wayproblems_problems": r01_wayproblems_problems,
         "r02_wayproblems_stdout": r02_wayproblems_stdout,
         "r03_tile_counts": r03_tile_counts,

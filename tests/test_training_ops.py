@@ -406,3 +406,28 @@ def test_simhash_rotated_tables_candidate_reduction(spark):
     # rotated windows must cut that by a large factor
     assert cand_pig > (n_base * (n_base - 1)) // 2 * 0.9
     assert cand_rot < cand_pig / 5
+
+
+def test_quantize_int8_reconstruction_and_edges(spark):
+    from wayproblems_spark.operators.similarity import dequantize_int8, quantize_int8
+
+    rows = [
+        (0, [0.5, -1.0, 0.25, 127.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),          # all-zero → scale 1.0, q all 0
+        (2, [1e-6, -1e-6, 5e-7, 0.0]),      # tiny magnitudes
+        (3, [-3.5, 3.5, 1.75, -1.75]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = quantize_int8(df)
+    got = {r["vec_id"]: r for r in q.withColumn(
+        "recon", dequantize_int8(q)
+    ).collect()}
+    assert got[1]["scale"] == 1.0 and all(x == 0 for x in got[1]["q"])
+    for i, vec in rows:
+        scale = got[i]["scale"]
+        assert all(-127 <= x <= 127 for x in got[i]["q"])
+        for orig, rec in zip(vec, got[i]["recon"]):
+            # float32 storage error is far below scale/2 here
+            assert abs(float(orig) - rec) <= scale / 2 + 1e-9
+    # max-magnitude element hits exactly ±127
+    assert 127 in got[0]["q"] or -127 in got[0]["q"]

@@ -456,3 +456,38 @@ def embedding_near_pairs(
     """Pairs-only wrapper over embedding_near_dups (API parity with
     dedup.minhash_lsh_pairs / simhash_near_pairs)."""
     return embedding_near_dups(corpus, dim, threshold, **kw)["pairs"]
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the standard 4× storage
+    shrink for ANN corpora: ``scale = max|v| / 127`` (1.0 for an all-zero
+    vector), ``q_i = clamp(floor(v_i/scale + 0.5), -127, 127)`` as
+    ``array<tinyint>``. Reconstruction ``q_i·scale`` is within scale/2 of
+    the input elementwise (test-asserted).
+
+    All JVM array expressions — higher-order transforms are interpreted
+    (not codegen), but stay executor-side and data-parallel with zero
+    Python; this is a one-time corpus pass whose output is 4× lighter to
+    shuffle/store, the trade a 100 TB embedding table wants. floor(x+0.5)
+    (round-half-up) is used instead of engine round() so the oracle can
+    replicate the exact boundary behavior cross-engine."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    m = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(m == 0.0, F.lit(1.0)).otherwise(m / F.lit(127.0))
+    df = df.select(F.col(id_col), v.alias("_v"), scale.alias("scale"))
+    q = F.transform(
+        F.col("_v"),
+        lambda x: F.greatest(
+            F.lit(-127), F.least(F.lit(127), F.floor(x / F.col("scale") + 0.5))
+        ).cast("tinyint"),
+    )
+    return df.select(id_col, "scale", q.alias("q"))
+
+
+def dequantize_int8(df: DataFrame, q_col: str = "q", scale_col: str = "scale"):
+    """array<double> reconstruction: q_i · scale."""
+    return F.transform(
+        F.col(q_col), lambda x: x.cast("double") * F.col(scale_col)
+    )
