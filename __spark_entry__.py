@@ -1107,6 +1107,31 @@ def r15_embedding_near_dups(spark, sf_dir):
     ).select("a", "b", F.round("sim", 6).alias("sim_r6"))
 
 
+def r16_curate_corpus(spark, sf_dir):
+    """The corpus-curation pipeline capstone (jobs/curate_corpus.py) run
+    end-to-end over the fixture documents table: quality gate [q26] →
+    md5-stratified sampling [q29] → MinHash near-dup pairs [q21] →
+    max-quality keep decision [q30] — returns the (doc_id, keeper_id,
+    kept) decision audit. Rows-only by design: the composed funnel's
+    individual stages each carry their own hash-exact oracle row; this
+    entry exercises the COMPOSITION (the production job path) per round.
+    Deterministic end to end (fixed hashes, md5 keys, argmax ties on
+    id), so the rows-only count is stable."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "jobs")
+    )
+    from curate_corpus import curate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    curated, decisions, vocab, stats, (staged, tp) = curate(
+        spark, docs, min_quality=0.3, jaccard=0.8, vocab_k=25
+    )
+    return decisions
+
+
 def q11_tile_counts_sql(spark, sf_dir):
     """G6 tile math oracle-checked: deterministic synthetic lat/lon derived
     from event_id, slippy tile assignment at z=11 via the production
@@ -1801,6 +1826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r13_ann_ivf_topk": r13_ann_ivf_topk,
         "r14_near_dup_groups": r14_near_dup_groups,
         "r15_embedding_near_dups": r15_embedding_near_dups,
+        "r16_curate_corpus": r16_curate_corpus,
     }
 
 
