@@ -1129,6 +1129,13 @@ def r16_curate_corpus(spark, sf_dir):
     curated, decisions, vocab, stats, (staged, tp) = curate(
         spark, docs, min_quality=0.3, jaccard=0.8, vocab_k=25
     )
+    # materialize the (small) audit eagerly, then release curate()'s
+    # persisted frames — the 49-query driver harness shares one session,
+    # so anything left cached here stays pinned for the whole sweep
+    decisions = decisions.localCheckpoint(eager=True)
+    for fr in tp:
+        fr.unpersist()
+    staged.unpersist()
     return decisions
 
 

@@ -458,20 +458,43 @@ def run_suite(spark, emit_fingerprints: bool = False) -> dict:
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum", big_initpart
     )
 
-    # single-file table → split for parallel shingle/minhash evaluation
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(64, "doc_id")
+    # minhash corpus STAGED once (excluded from timings, the knn-leg
+    # pattern): 16 doc_id-offset copies of the documents table, copies
+    # 2c/2c+1 sharing a word space (every token suffixed "_<c//2>") so the
+    # twin/near-dup family STRUCTURE of the old 2-copy leg is preserved ×8
+    # while copies in different spaces share no shingles. Two r6 fixes in
+    # one: the old inline union (repartition(64) × 2 branches) persisted a
+    # 128-partition base whose every scan cost 128 tiny tasks — ~1 k task
+    # dispatches per call, a parallelism-INDEPENDENT driver floor that put
+    # the leg's pooled N→4N eff at 0.44; and at 2-copy volume the ~15
+    # sequential AQE stage launches dominated the remaining runtime. The
+    # staged 8× corpus makes the leg compute-bound (measured 2v8 eff 0.84
+    # vs 0.57 staged-2-copy, pairs = 8×6020 = 48,160 bit-deterministic).
+    mh_tag = os.path.basename(os.path.normpath(SF_DIR))
+    mh_path = os.path.join(SCRATCH, f"bench_minhash_docs16_{mh_tag}")
+    if not os.path.exists(os.path.join(mh_path, "_SUCCESS")):
+        d0 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        mh = None
+        for c in range(16):
+            d = d0.select(
+                (F.col("doc_id") + 10_000_000 * c).alias("doc_id"),
+                F.regexp_replace(
+                    F.col("text"), r"(\S+)", r"$1_" + str(c // 2)
+                ).alias("text"),
+            )
+            mh = d if mh is None else mh.unionByName(d)
+        mh.repartition(32, "doc_id").write.mode("overwrite").parquet(mh_path)
 
     def _minhash():
         # the operator persists its shingle frame internally (one
         # materialization feeds banding + both verify-join sides);
         # unpersist inside the rep so the NEXT rep recomputes instead of
         # silently reading this rep's cache (identical logical plan ⇒
-        # CacheManager hit — the documented bench trap)
+        # CacheManager hit — the documented bench trap). Fresh read per
+        # rep so shuffle outputs aren't silently reused either.
         tp = []
         n = minhash_lsh_pairs(
-            docs.unionByName(
-                docs.withColumn("doc_id", F.col("doc_id") + 10_000_000)
-            ),
+            spark.read.parquet(mh_path),
             jaccard_threshold=0.8,
             track_persists=tp,
         ).count()

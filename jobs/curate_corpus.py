@@ -62,11 +62,16 @@ def curate(
     vocab_k: int = 1000,
     salt: str = "curate",
 ):
-    """Run the funnel; returns (curated_df, decisions_df, vocab_df, stats).
+    """Run the funnel; returns the 5-tuple
+    ``(curated_df, decisions_df, vocab_df, stats, (staged, tracked))``.
 
     curated_df carries the doc columns + stats columns for kept docs;
     decisions_df is the full (doc_id, keeper_id, kept) audit for every
-    doc that survived stages 1–2."""
+    doc that survived stages 1–2. The 5th element owns this call's
+    persisted frames: ``staged`` (the stage-1/2 survivors) and
+    ``tracked`` (minhash's internal shingle frame) — the CALLER MUST
+    unpersist both after materializing the outputs (see main()/r16), or
+    they stay pinned in the session's cache for its lifetime."""
     from pyspark.sql import functions as F
 
     from wayproblems_spark.operators.components import canonical_docs

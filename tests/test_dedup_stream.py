@@ -205,3 +205,69 @@ def test_dedup_state_compaction_crash_resume(spark, tmp_path):
     parts = {n for n in os.listdir(dpath) if n.startswith("batch_id=")}
     assert parts == {"batch_id=-1"}
     assert not any("._compact" in n for n in os.listdir(state))
+
+
+def test_dedup_state_recompaction_crash_after_minus1_delete(spark, tmp_path):
+    """The r5 ADVICE loss scenario: a RE-compaction (a ``batch_id=-1``
+    partition already exists from an earlier fold) crashes after phase 2
+    deleted that ``-1`` partition. All surviving rows exist only in the
+    staging dir at that point; the resume must land every one of them in
+    the new ``batch_id=-1`` (the old file-by-file move could leave rows in
+    a partially-filled ``-1`` that the resume's phase-2 delete then
+    destroyed — the atomic-rename fold has no such reachable state)."""
+    import shutil
+
+    from wayproblems_spark.streaming.dedup_stream import compact_dedup_state
+
+    docs = _corpus(spark).toPandas().sort_values("doc_id").reset_index(drop=True)
+    k = len(docs) // 2
+    state = str(tmp_path / "state")
+    fb = dedup_foreach_batch(state, jaccard_threshold=0.5)
+    fb(spark.createDataFrame(docs.iloc[:k]), 0)
+    compact_dedup_state(spark, state, horizon_batch_id=1)  # creates -1
+    fb(spark.createDataFrame(docs.iloc[k:]), 1)
+
+    dpath = os.path.join(state, "docs")
+    before = sorted(
+        map(tuple, spark.read.parquet(dpath).drop("batch_id").collect())
+    )
+    # phase 1 of the re-compaction by hand (horizon 2 folds -1 and 1)
+    df = spark.read.parquet(dpath)
+    df.filter("batch_id < 2").drop("batch_id").repartition(2, "_id").write.mode(
+        "overwrite"
+    ).parquet(dpath + "._compact_2")
+    # crash right after phase 2 removed the OLD compacted partition: the
+    # staging dir is now the only copy of those rows
+    shutil.rmtree(os.path.join(dpath, "batch_id=-1"))
+    shutil.rmtree(os.path.join(dpath, "batch_id=1"))
+
+    compact_dedup_state(spark, state, horizon_batch_id=2)
+
+    after = sorted(
+        map(tuple, spark.read.parquet(dpath).drop("batch_id").collect())
+    )
+    assert after == before
+    parts = {n for n in os.listdir(dpath) if n.startswith("batch_id=")}
+    assert parts == {"batch_id=-1"}
+    assert not any("._compact" in n for n in os.listdir(state))
+
+
+def test_dedup_state_bucketed_probe_prunes(spark, tmp_path):
+    """The buckets state is partitioned by pbucket = pmod(xxhash64(band,
+    sig), K) and a literal isin over the batch's touched pbuckets reaches
+    the scan as a PARTITION filter — the per-batch probe reads matching
+    directories only, bounding probe I/O by buckets hit, not stream age."""
+    docs = _corpus(spark).toPandas().sort_values("doc_id").reset_index(drop=True)
+    state = str(tmp_path / "state")
+    fb = dedup_foreach_batch(state, jaccard_threshold=0.5, n_state_buckets=8)
+    fb(spark.createDataFrame(docs.iloc[:40]), 0)
+
+    bdir = os.path.join(state, "buckets")
+    b0 = os.path.join(bdir, "batch_id=0")
+    pdirs = {n for n in os.listdir(b0) if n.startswith("pbucket=")}
+    assert pdirs, "buckets state not pbucket-partitioned"
+
+    probe = spark.read.parquet(bdir).filter(F.col("pbucket").isin([1, 5]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters", 1)
+    assert len(pf) == 2 and "pbucket" in pf[1][:300], plan[:2000]

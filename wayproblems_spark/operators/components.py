@@ -101,9 +101,9 @@ def _group_labels(
     extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id_col, *extra_cols, _gid): every doc labeled with its component's
-    min id; docs in no pair label themselves. Shared by near_dup_groups
-    and canonical_docs (which passes a precomputed frame through
-    ``groups=`` instead of running components twice)."""
+    min id; docs in no pair label themselves. Shared helper of
+    near_dup_groups and canonical_docs (each runs components once over
+    its own pair frame)."""
     comp = connected_components(pairs, a_col, b_col, max_iter)
     return (
         docs.select(F.col(id_col), *[F.col(c) for c in extra_cols])

@@ -64,6 +64,36 @@ def minhash_signature(shingles_col, num_hashes: int = 64):
     )
 
 
+# The band-signature aggregate columns are input-independent (they only
+# reference the exploded `hs` column), but rebuilding them per call costs
+# ~0.9 s of py4j round-trips + fresh-exprId analysis at EVERY parallelism
+# level (measured: fresh-plan 1.67 s vs reused-expr 0.81 s for the agg job
+# at local[8]) — a pure driver constant that poisoned the leg's N→4N
+# scaling ratio and repeats per micro-batch in streaming dedup. Built once
+# per (num_hashes, bands) per process, like engine._EMISSIONS_CACHE.
+_BAND_AGG_CACHE: dict = {}
+
+
+def _band_agg_columns(num_hashes: int, bands: int) -> list:
+    key = (num_hashes, bands)
+    if key not in _BAND_AGG_CACHE:
+        rows = num_hashes // bands
+        # band signature FUSED into the aggregate: each output column is
+        # xxhash64 over that band's seed-ordered mins (still num_hashes
+        # min buffers inside one hash aggregate, but 16 output columns and
+        # one less projection for the analyzer/optimizer to chew per call)
+        _BAND_AGG_CACHE[key] = [
+            F.xxhash64(
+                *[
+                    F.min(F.xxhash64(F.lit(b * rows + r), F.col("hs")))
+                    for r in range(rows)
+                ]
+            ).alias(f"s{b}")
+            for b in range(bands)
+        ]
+    return _BAND_AGG_CACHE[key]
+
+
 def _minhash_band_buckets(base: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """(_id, band, sig) band-bucket keys via an EXPLODED codegen pipeline.
 
@@ -72,31 +102,16 @@ def _minhash_band_buckets(base: DataFrame, num_hashes: int, bands: int) -> DataF
     and flow through whole-stage codegen into a map-side-partial min —
     the per-partition combine collapses the 64× explosion back to
     docs×num_hashes rows before the (tiny) shuffle. Band signature =
-    xxhash64 over the seed-ordered min struct list (only equality matters
-    downstream; the scheme hashes seeded re-hashes of the per-shingle
+    xxhash64 over the seed-ordered mins (equality iff the min tuple
+    matches; the scheme hashes seeded re-hashes of the per-shingle
     xxhash64, an equally valid minhash family)."""
-    rows = num_hashes // bands
     ex = base.select("_id", F.explode("shl").alias("hs"))
-    # ONE groupBy with num_hashes min-agg columns: same total hash count
+    # ONE groupBy with num_hashes min-agg buffers: same total hash count
     # as the former seed-explode (each shingle row evaluates all seeds),
     # but the 64× row materialization, its shuffle and the later
     # collect_list band agg all disappear — rows stay docs×shingles
     # through a single map-side-partial hash aggregate.
-    mins = ex.groupBy("_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(s), F.col("hs"))).alias(f"h{s}")
-            for s in range(num_hashes)
-        ]
-    )
-    # band signature = hash of that band's seed-ordered mins (equality iff
-    # the min tuple matches — the same bucketing the struct-list hash gave)
-    sigs = mins.select(
-        "_id",
-        *[
-            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(f"s{b}")
-            for b in range(bands)
-        ],
-    )
+    sigs = ex.groupBy("_id").agg(*_band_agg_columns(num_hashes, bands))
     stack = ", ".join(f"{b}, s{b}" for b in range(bands))
     return sigs.select(
         "_id", F.expr(f"stack({bands}, {stack}) as (band, sig)")

@@ -88,6 +88,21 @@ _GJ_MASK = (1 << 29) - 1
 # physical-plan switch: both paths are exact, results identical.
 _BRUTE_CUTOVER = 200
 
+# Escapee-side broadcast hints are GATED on the measured escapee count:
+# the slice is usually ~3% of points, but it is data-dependent (a sparse
+# way corpus or a mis-picked level can push most points into the ladder),
+# and an unconditional F.broadcast would hit Spark's broadcast size limit
+# / driver OOM at billion-point scale. Above the gates the hint is simply
+# omitted — AQE still converts the join at runtime if the actual relation
+# is small, and falls back to a shuffle join otherwise (correct either
+# way; the hint only pins the fast plan when it is provably safe).
+_ESC_BROADCAST_MAX = 500_000   # id-width sides (enrichment, anti-join)
+_RING_BROADCAST_MAX = 200_000  # ring-exploded probe side (≤16 rows/escapee)
+
+
+def _maybe_broadcast(df: DataFrame, n_rows: int, limit: int) -> DataFrame:
+    return F.broadcast(df) if n_rows <= limit else df
+
 
 def cell_min_edge_m(level: int) -> float:
     return _MIN_EDGE_RAD / (1 << level) * EARTH_RADIUS_M
@@ -383,8 +398,14 @@ def knn_nearest_way(
     sel = ("point_id", "way_id", "dist_m")
     outs = [ok1.select(*sel)]
     esc_cols = ("point_id", "lat", "lon", "px", "py", "pz", "cell")
+    # count the escapee ids BEFORE the enrichment join so every broadcast
+    # hint below is gated on a known size (t1 is persisted — the count is
+    # a cheap cache scan; the join is inner on unique point_id, so the
+    # enriched count is identical)
+    esc_ids = _persist(t1.filter(~accept1).select("point_id", "cell"))
+    n_esc = esc_ids.count()
     esc = _persist(
-        F.broadcast(t1.filter(~accept1).select("point_id", "cell"))
+        _maybe_broadcast(esc_ids, n_esc, _ESC_BROADCAST_MAX)
         .join(p_base, "point_id")
         .select(*esc_cols)
     )
@@ -415,7 +436,6 @@ def knn_nearest_way(
         if c <= 4:
             break
         c = max(c - 3, 4)
-    n_esc = esc.count()
     for coarse in rungs:
         if n_esc == 0:
             return _union_all(outs)
@@ -438,7 +458,7 @@ def knn_nearest_way(
             "ccell", coarse_cell_expr(F.col("_g"), level, coarse)
         )
         tk = _persist(
-            vc.join(F.broadcast(e), "ccell")
+            vc.join(_maybe_broadcast(e, n_esc, _RING_BROADCAST_MAX), "ccell")
             .select(
                 "point_id", "corner",
                 F.struct(c2r.alias("c2"), F.col("way_id").alias("way_id")).alias("m"),
@@ -449,10 +469,15 @@ def knn_nearest_way(
         thr = _accept_chord2(coarse)
         ok = tk.filter(~F.col("corner") & (F.col("best.c2") < thr))
         outs.append(out_cols(ok).select(*sel))
-        # the accepted-id side is ≤ the escapee count (tiny) — broadcast it
-        # so the per-rung anti-join never shuffles the escapee frame
+        # the accepted-id side is ≤ the escapee count — hint it small only
+        # when that bound is known-broadcastable, so the per-rung anti-join
+        # never shuffles the escapee frame in the common case
         esc = _persist(
-            esc.join(F.broadcast(ok.select("point_id")), "point_id", "left_anti")
+            esc.join(
+                _maybe_broadcast(ok.select("point_id"), n_esc, _ESC_BROADCAST_MAX),
+                "point_id",
+                "left_anti",
+            )
         )
         n_esc = esc.count()
 
@@ -672,8 +697,11 @@ def knn_nearest_way_segments(
     )
     sel = ("point_id", "way_id", "dist_m")
     outs = [out_cols(t1.filter(accept1)).select(*sel)]
+    # same gated-broadcast discipline as knn_nearest_way: size first
+    esc_ids = _persist(t1.filter(~accept1).select("point_id", "cell"))
+    n_esc = esc_ids.count()
     esc = _persist(
-        F.broadcast(t1.filter(~accept1).select("point_id", "cell"))
+        _maybe_broadcast(esc_ids, n_esc, _ESC_BROADCAST_MAX)
         .join(p_base, "point_id")
         .select("point_id", "lat", "lon", "px", "py", "pz", "cell")
     )
@@ -687,7 +715,6 @@ def knn_nearest_way_segments(
         if c <= 4:
             break
         c = max(c - 3, 4)
-    n_esc = esc.count()
     for coarse in rungs:
         if n_esc == 0:
             return _union_all(outs)
@@ -705,7 +732,7 @@ def knn_nearest_way_segments(
         idx_c = index.withColumn(
             "ccell", coarse_cell_expr(F.col("cell"), level, coarse)
         )
-        ex = idx_c.join(F.broadcast(e), "ccell").select(
+        ex = idx_c.join(_maybe_broadcast(e, n_esc, _RING_BROADCAST_MAX), "ccell").select(
             "point_id", "corner", "px", "py", "pz", F.explode("vs").alias("v")
         ).select(
             "point_id", "corner", "px", "py", "pz",
@@ -725,7 +752,11 @@ def knn_nearest_way_segments(
         ok = tk.filter(~F.col("corner") & (F.col("best.c2") < thr))
         outs.append(out_cols(ok).select(*sel))
         esc = _persist(
-            esc.join(F.broadcast(ok.select("point_id")), "point_id", "left_anti")
+            esc.join(
+                _maybe_broadcast(ok.select("point_id"), n_esc, _ESC_BROADCAST_MAX),
+                "point_id",
+                "left_anti",
+            )
         )
         n_esc = esc.count()
 

@@ -47,22 +47,37 @@ def fake_audio_bytes(sample_rate: int, n_samples: int, seed: int = 0) -> bytes:
 def _decode_image_batch(blob: pd.Series) -> pd.DataFrame:
     """STUB decode: parses the deterministic fake header. A real deployment
     replaces this body with PIL/turbojpeg; the signature and output schema
-    stay identical."""
-    fmt, w, h, nb, ok = [], [], [], [], []
-    for b in blob:
-        nb.append(0 if b is None else len(b))
-        if b is not None and len(b) >= 12 and b[:4] == FAKE_IMG_MAGIC:
-            ww, hh = struct.unpack("<II", b[4:12])
-            fmt.append("fimg")
-            w.append(ww)
-            h.append(hh)
-            ok.append(True)
-        else:
-            fmt.append(None)
-            w.append(0)
-            h.append(0)
-            ok.append(False)
-    return pd.DataFrame({"format": fmt, "width": w, "height": h, "n_bytes": nb, "valid": ok})
+    stay identical.
+
+    Vectorized (the byte_stats pattern): the candidates' first 12 bytes are
+    packed into ONE (n, 12) uint8 matrix and the magic compare + both
+    little-endian u32 reads happen as numpy column views — the only
+    remaining per-row Python is the unavoidable header slice of each
+    variable-length bytes object (the r5 version ran struct.unpack row by
+    row). Output byte-identical to the loop form."""
+    vals = blob.to_numpy()
+    n = len(vals)
+    nb = np.fromiter(
+        (0 if b is None else len(b) for b in vals), dtype=np.int64, count=n
+    )
+    w = np.zeros(n, dtype=np.int64)
+    h = np.zeros(n, dtype=np.int64)
+    ok = np.zeros(n, dtype=bool)
+    cand = nb >= 12
+    if cand.any():
+        heads = np.frombuffer(
+            b"".join([b[:12] for b in vals[cand]]), dtype=np.uint8
+        ).reshape(-1, 12)
+        magic = (heads[:, :4] == np.frombuffer(FAKE_IMG_MAGIC, np.uint8)).all(axis=1)
+        idx = np.flatnonzero(cand)[magic]
+        ok[idx] = True
+        w[idx] = heads[magic, 4:8].copy().view("<u4").ravel().astype(np.int64)
+        h[idx] = heads[magic, 8:12].copy().view("<u4").ravel().astype(np.int64)
+    fmt = np.where(ok, "fimg", None)
+    return pd.DataFrame(
+        {"format": pd.Series(fmt, dtype=object), "width": w, "height": h,
+         "n_bytes": nb, "valid": ok}
+    )
 
 
 def image_metadata(df: DataFrame, id_col: str = "id", blob_col: str = "blob") -> DataFrame:
@@ -88,22 +103,30 @@ def resize_images(df: DataFrame, width: int, height: int, blob_col: str = "blob"
 
 
 def _decode_audio_batch(blob: pd.Series) -> pd.DataFrame:
-    codec, sr, ns, nb, ok = [], [], [], [], []
-    for b in blob:
-        nb.append(0 if b is None else len(b))
-        if b is not None and len(b) >= 16 and b[:4] == FAKE_AUD_MAGIC:
-            r, n = struct.unpack("<IQ", b[4:16])
-            codec.append("faud")
-            sr.append(r)
-            ns.append(n)
-            ok.append(True)
-        else:
-            codec.append(None)
-            sr.append(0)
-            ns.append(0)
-            ok.append(False)
+    """Vectorized like _decode_image_batch: one (n, 16) header matrix,
+    u32 sample-rate and u64 sample-count read as numpy column views."""
+    vals = blob.to_numpy()
+    n = len(vals)
+    nb = np.fromiter(
+        (0 if b is None else len(b) for b in vals), dtype=np.int64, count=n
+    )
+    sr = np.zeros(n, dtype=np.int64)
+    ns = np.zeros(n, dtype=np.int64)
+    ok = np.zeros(n, dtype=bool)
+    cand = nb >= 16
+    if cand.any():
+        heads = np.frombuffer(
+            b"".join([b[:16] for b in vals[cand]]), dtype=np.uint8
+        ).reshape(-1, 16)
+        magic = (heads[:, :4] == np.frombuffer(FAKE_AUD_MAGIC, np.uint8)).all(axis=1)
+        idx = np.flatnonzero(cand)[magic]
+        ok[idx] = True
+        sr[idx] = heads[magic, 4:8].copy().view("<u4").ravel().astype(np.int64)
+        ns[idx] = heads[magic, 8:16].copy().view("<u8").ravel().astype(np.int64)
+    codec = np.where(ok, "faud", None)
     return pd.DataFrame(
-        {"codec": codec, "sample_rate": sr, "n_samples": ns, "n_bytes": nb, "valid": ok}
+        {"codec": pd.Series(codec, dtype=object), "sample_rate": sr,
+         "n_samples": ns, "n_bytes": nb, "valid": ok}
     )
 
 

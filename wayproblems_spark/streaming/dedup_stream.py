@@ -23,8 +23,13 @@ Jaccard verify on surviving candidate pairs, and one partitioned append.
 State size on disk is O(corpus), but per-batch compute is O(batch +
 matching buckets) — the build-once/stream-many cost shape shared with
 knn_stream / pip_stream, except here the "index" legitimately GROWS, so
-it lives in storage (at cluster scale: an object store) instead of a
-persisted broadcast.
+it lives in storage instead of a persisted broadcast. PATH CONTRACT:
+``state_dir`` must be a POSIX path (local disk, NFS, or a fuse mount of
+an object store) — the existence probe (`_read_state`) and
+``compact_dedup_state`` manage files with os.path/shutil, which silently
+treat an s3a://-style URI as empty; routing them through the Hadoop
+FileSystem API is the known follow-up if raw object-store state is
+needed.
 
 Delivery: every state write and the result sink are per-batch_id
 dynamic-partition overwrites, and state probes exclude the current
@@ -85,12 +90,24 @@ def dedup_foreach_batch(
     bands: int = 16,
     jaccard_threshold: float = 0.5,
     max_bucket: int = 64,
+    n_state_buckets: int = 32,
 ) -> Callable:
     """Returns an on-batch callable for ``writeStream.foreachBatch`` that
     emits the batch's verified near-dup pairs (a, b, jaccard) — against
     both the batch itself and all previously seen documents — to the
     wrapped sink set via ``.sink``, then folds the batch into the
     persistent state under ``state_dir``.
+
+    State bucketing: the buckets table is additionally partitioned by
+    ``pbucket = pmod(xxhash64(band, sig), n_state_buckets)``. Each batch
+    collects its (tiny, ≤ n_state_buckets) set of touched pbucket values
+    and probes with a literal ``isin`` filter, so the state scan
+    partition-prunes to matching directories instead of listing/reading
+    every partition's footers — per-batch probe I/O is bounded by the
+    buckets the batch actually hits at ANY corpus size. ``pbucket`` is a
+    pure function of the join keys, so pruning never changes results.
+    Changing ``n_state_buckets`` on an existing state dir is NOT
+    supported (the partition value would disagree with old directories).
 
     Usage::
 
@@ -135,12 +152,25 @@ def dedup_foreach_batch(
             # cross candidates: batch bucket keys probe the state buckets.
             # Replay safety: a redelivered batch's own rows are already in
             # state — exclude them by batch_id. The probe is selective
-            # (equi-join on the batch's band/sig keys); per-bucket cap on
-            # the state side is ranked over the PROBED buckets only, so
-            # the window never touches buckets the batch doesn't hit.
-            seen_b = _read_state(spark, buckets_dir, kept).filter(
-                F.col("batch_id") != bid
-            )
+            # twice over: a LITERAL pbucket isin (collected from the
+            # batch, ≤ n_state_buckets ints) statically prunes the state
+            # scan to matching partition directories, then the equi-join
+            # on the batch's band/sig keys narrows within them; per-bucket
+            # cap on the state side is ranked over the PROBED buckets
+            # only, so the window never touches buckets the batch
+            # doesn't hit.
+            pb = F.pmod(F.xxhash64("band", "sig"), F.lit(n_state_buckets))
+            pbs = [
+                r[0]
+                for r in kept.select(pb.alias("pbucket")).distinct().collect()
+            ]
+            seen_b = _read_state(
+                spark, buckets_dir, kept.withColumn("pbucket", pb)
+            ).filter(F.col("batch_id") != bid)
+            if "pbucket" in seen_b.columns:  # pre-bucketing state dirs skip
+                seen_b = seen_b.filter(
+                    F.col("pbucket").isin(pbs) if pbs else F.lit(False)
+                ).drop("pbucket")
             probed = seen_b.join(
                 kept.select("band", "sig").distinct(), ["band", "sig"]
             )
@@ -186,16 +216,21 @@ def dedup_foreach_batch(
             fb.sink(pairs, bid)
 
             # fold the batch into state — per-batch_id dynamic overwrite:
-            # a replayed batch rewrites its own partitions (exactly-once)
-            for frame, path in (
-                (base, docs_dir),
-                (kept.select("band", "sig", "_id"), buckets_dir),
+            # a replayed batch rewrites its own partitions (exactly-once);
+            # the buckets table also partitions by pbucket (probe pruning)
+            for frame, path, parts in (
+                (base, docs_dir, ("batch_id",)),
+                (
+                    kept.select("band", "sig", "_id").withColumn("pbucket", pb),
+                    buckets_dir,
+                    ("batch_id", "pbucket"),
+                ),
             ):
                 (
                     frame.withColumn("batch_id", F.lit(bid))
                     .write.mode("overwrite")
                     .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("batch_id")
+                    .partitionBy(*parts)
                     .parquet(path)
                 )
         finally:
@@ -233,15 +268,16 @@ def compact_dedup_state(
     Crash safety (write-ahead staging): the fold runs in three phases —
     (1) write ALL surviving rows (old partitions plus any existing
     ``batch_id=-1``) to a ``._compact`` staging dir (Spark leaves a
-    ``_SUCCESS`` marker), (2) delete the folded partitions, (3) move the
-    staged files into ``batch_id=-1``. A crash before (2) leaves state
-    untouched (stale staging is overwritten next time); a crash during
-    (2)/(3) leaves a staging dir WITH ``_SUCCESS`` holding every folded
-    row — the next call detects it and completes phases (2)+(3) before
-    doing anything else, so no row is ever lost and no row is ever
-    doubled (old partitions are gone before ``batch_id=-1`` is
-    populated; probes in the crash window see a smaller corpus until the
-    resume, never duplicates).
+    ``_SUCCESS`` marker), (2) delete the folded partitions (including any
+    previous ``batch_id=-1`` — its rows are in the staging), (3) RENAME
+    the staging dir to ``batch_id=-1`` in one atomic step. A crash before
+    (2) leaves state untouched (stale staging is overwritten next time);
+    a crash during (2) or before (3) leaves a staging dir WITH
+    ``_SUCCESS`` holding every folded row — the next call detects it and
+    completes phases (2)+(3) before doing anything else, so no row is
+    ever lost and no row is ever doubled (``batch_id=-1`` appears only
+    via the rename, all-or-nothing; probes in the crash window see a
+    smaller corpus until the resume, never duplicates).
 
     Returns {"docs": rows_compacted, "buckets": rows_compacted}.
     """
@@ -251,18 +287,22 @@ def compact_dedup_state(
         # phases (2)+(3): delete the partitions this staging folded
         # (exactly those < the horizon ENCODED IN THE STAGING DIR NAME —
         # a resume must not delete partitions a crashed call never
-        # staged), then move the staged files in. Idempotent.
+        # staged; -1 < horizon, so a previously compacted partition is
+        # deleted here too — its rows are in the staging), then RENAME the
+        # staging dir into place as the new ``batch_id=-1``. The rename is
+        # a single atomic step: a crash anywhere before it leaves the
+        # staging (with its _SUCCESS) holding every surviving row, so the
+        # resume preamble can always re-run this function; a file-by-file
+        # move (the r5 implementation) could crash with some files already
+        # in ``batch_id=-1`` and then lose them on resume when this loop
+        # deleted the partial -1 partition. The _SUCCESS marker renamed
+        # along is harmless — readers ignore underscore files. Idempotent.
         for name in os.listdir(path):
             if not name.startswith("batch_id="):
                 continue
             if int(name.split("=", 1)[1]) < horizon:
                 shutil.rmtree(os.path.join(path, name))
-        dest = os.path.join(path, "batch_id=-1")
-        os.makedirs(dest, exist_ok=True)
-        for name in os.listdir(staging):
-            if name.endswith(".parquet"):
-                shutil.move(os.path.join(staging, name), os.path.join(dest, name))
-        shutil.rmtree(staging)
+        os.rename(staging, os.path.join(path, "batch_id=-1"))
 
     out = {}
     for sub, keys in (("docs", ["_id"]), ("buckets", ["band", "sig"])):
@@ -289,13 +329,20 @@ def compact_dedup_state(
         out[sub] = n
         if n == 0:
             continue
-        # phase (1): stage every surviving row (incl. any existing -1)
+        # phase (1): stage every surviving row (incl. any existing -1).
+        # A pbucket-bucketed table keeps its pbucket=* layout inside the
+        # staging (and so inside batch_id=-1 after the rename): rows are
+        # repartitioned BY pbucket so each directory gets one file, and
+        # probe pruning keeps working across compactions.
         staging = f"{path}._compact_{horizon_batch_id}"
-        (
+        part_cols = [c for c in ("pbucket",) if c in df.columns]
+        writer = (
             old.drop("batch_id")
-            .repartition(n_files, *keys)
+            .repartition(n_files, *(part_cols or keys))
             .write.mode("overwrite")
-            .parquet(staging)
         )
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(staging)
         _finish(path, staging, horizon_batch_id)
     return out
