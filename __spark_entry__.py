@@ -351,6 +351,29 @@ ORACLE = {
                COUNT(*) AS n
         FROM p GROUP BY 1, 2
     """,
+    # G6 pyramid rollup — DuckDB computes every zoom's floors DIRECTLY
+    # (POW(2,z) is exact in doubles; same IEEE base composition as q11,
+    # which hash-matched at the finest zoom used here), so a MATCH proves
+    # the production shiftright rollup ≡ per-zoom floors cross-engine.
+    "q35_tile_pyramid_sql": """
+        WITH p AS (
+          SELECT -60.0 + (event_id % 120000)/1000.0 AS lat,
+                 -180.0 + ((event_id*7) % 360000)/1000.0 AS lon,
+                 CASE CAST(event_id % 3 AS INTEGER)
+                      WHEN 0 THEN 'wayproblems'
+                      WHEN 1 THEN 'cycling'
+                      ELSE 'ref' END AS layer
+          FROM events),
+        z AS (SELECT unnest(range(6, 12)) AS tile_z)
+        SELECT CAST(tile_z AS BIGINT) AS tile_z,
+               CAST(GREATEST(0, LEAST(FLOOR((lon + 180.0)/360.0*POW(2.0, tile_z)),
+                                      POW(2.0, tile_z)-1)) AS BIGINT) AS tile_x,
+               CAST(GREATEST(0, LEAST(FLOOR((1.0 - LN(TAN(RADIANS(lat)) + 1.0/COS(RADIANS(lat)))/PI())/2.0*POW(2.0, tile_z)),
+                                      POW(2.0, tile_z)-1)) AS BIGINT) AS tile_y,
+               layer,
+               COUNT(*) AS problem_count
+        FROM p, z GROUP BY 1, 2, 3, 4
+    """,
     # G5 kNN — cross-join argmin with the operator's exact chord formula
     # and (c2, way_id) tie order
     "q12_knn_bruteforce_sql": """
@@ -1794,6 +1817,36 @@ def q34_rules_catalog_sql(spark, sf_dir):
     )
 
 
+def q35_tile_pyramid_sql(spark, sf_dir):
+    """G6 pyramid-rollup hash-exact oracle (closes the r03 family's last
+    unlocked operator): the PRODUCTION ``tile_pyramid_anchored`` — the
+    single-agg-at-z_max + shiftright rollup the real pipeline ships — over
+    q11's synthesized anchors plus a 3-way layer split, vs DuckDB
+    computing every zoom's floors DIRECTLY. Locks the rollup ≡ per-zoom
+    equivalence cross-engine: both sides scale the same IEEE base double
+    by exact powers of two, so floor(base·2^z) == floor(base·2^zmax) >>
+    (zmax−z) clamp-for-clamp (tiles.py docstring; test-asserted
+    in-engine, hash-verified here)."""
+    from wayproblems_spark.operators.tiles import tile_pyramid_anchored
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.select(
+        (F.lit(-60.0) + (F.col("event_id") % 120000) / 1000.0).alias("_lat"),
+        (F.lit(-180.0) + ((F.col("event_id") * 7) % 360000) / 1000.0).alias("_lon"),
+        F.when(F.col("event_id") % 3 == 0, "wayproblems")
+        .when(F.col("event_id") % 3 == 1, "cycling")
+        .otherwise("ref")
+        .alias("layer"),
+    )
+    return tile_pyramid_anchored(p, z_min=6, z_max=11).select(
+        F.col("tile_z").cast("long").alias("tile_z"),
+        F.col("tile_x").cast("long").alias("tile_x"),
+        F.col("tile_y").cast("long").alias("tile_y"),
+        "layer",
+        F.col("problem_count").cast("long").alias("problem_count"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full wayproblems pipeline on the deterministic fixture
     corpus (pages → extract → geoparse → resolve → 230-site rule engine)."""
@@ -1843,6 +1896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_vocab_topk_sql": q32_vocab_topk_sql,
         "q33_quantize_int8_sql": q33_quantize_int8_sql,
         "q34_rules_catalog_sql": q34_rules_catalog_sql,
+        "q35_tile_pyramid_sql": q35_tile_pyramid_sql,
         "r01_wayproblems_problems": r01_wayproblems_problems,
         "r02_wayproblems_stdout": r02_wayproblems_stdout,
         "r03_tile_counts": r03_tile_counts,
