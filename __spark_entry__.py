@@ -374,6 +374,20 @@ ORACLE = {
                COUNT(*) AS problem_count
         FROM p, z GROUP BY 1, 2, 3, 4
     """,
+    # Snapshot-table round-trip: DuckDB answers the same doc_id range from
+    # the raw table; chars via UTF-8-agnostic length parity (both engines
+    # count CHARACTERS — the fixture is ASCII, and q05 already locks the
+    # length() semantics cross-engine on this column).
+    "q36_snapshot_prune_sql": """
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+               MIN(doc_id) AS min_id,
+               MAX(doc_id) AS max_id
+        FROM documents
+        WHERE doc_id BETWEEN 100 AND 299
+        GROUP BY lang
+    """,
     # G5 kNN — cross-join argmin with the operator's exact chord formula
     # and (c2, way_id) tie order
     "q12_knn_bruteforce_sql": """
@@ -1847,6 +1861,50 @@ def q35_tile_pyramid_sql(spark, sf_dir):
     )
 
 
+def q36_snapshot_prune_sql(spark, sf_dir):
+    """Iceberg-style snapshot-table oracle: documents is committed once
+    into a versioned snapshot table (sources/snapshot_table.py — atomic
+    manifest commits, per-file doc_id min/max recorded by a distributed
+    input_file_name() stats pass), then read back through MANIFEST
+    pruning (files whose [min,max] misses the range are never opened) +
+    the row filter. DuckDB answers the same range from the raw table —
+    a MATCH proves the format round-trips rows exactly and pruning drops
+    files only, never rows. The table is staged once per sf under
+    .scratch (creation excluded from the comparison, like bench corpora)."""
+    import os
+
+    from wayproblems_spark.sources.snapshot_table import (
+        create_snapshot_table,
+        current_version,
+        read_snapshot,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".scratch", f"snap_docs_{tag}"
+    )
+    if current_version(path) == 0:
+        create_snapshot_table(
+            spark,
+            path,
+            _t(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+            stats_cols=("doc_id",),
+            n_files=8,
+        )
+    lo, hi = 100, 299
+    df = read_snapshot(spark, path, prune={"doc_id": (lo, hi)})
+    return (
+        df.filter(F.col("doc_id").between(lo, hi))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full wayproblems pipeline on the deterministic fixture
     corpus (pages → extract → geoparse → resolve → 230-site rule engine)."""
@@ -1897,6 +1955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_quantize_int8_sql": q33_quantize_int8_sql,
         "q34_rules_catalog_sql": q34_rules_catalog_sql,
         "q35_tile_pyramid_sql": q35_tile_pyramid_sql,
+        "q36_snapshot_prune_sql": q36_snapshot_prune_sql,
         "r01_wayproblems_problems": r01_wayproblems_problems,
         "r02_wayproblems_stdout": r02_wayproblems_stdout,
         "r03_tile_counts": r03_tile_counts,
