@@ -187,7 +187,8 @@ def _commit(path: str, manifest: dict, expected_parent: int) -> int:
 
 
 def _snapshot(
-    spark, path, files, stats_cols, parent, schema_json, operation
+    spark, path, files, stats_cols, parent, schema_json, operation,
+    properties: dict | None = None,
 ) -> dict:
     return {
         "version": parent + 1,
@@ -196,6 +197,9 @@ def _snapshot(
         "timestamp": time.time(),
         "schema": schema_json,
         "stats_cols": list(stats_cols),
+        # caller-attached commit metadata (e.g. a streaming batch_id for
+        # replay idempotence — the Iceberg snapshot-summary pattern)
+        "properties": dict(properties or {}),
         "files": _file_stats(spark, files, tuple(stats_cols)) if files else [],
     }
 
@@ -206,18 +210,25 @@ def create_snapshot_table(
     df: DataFrame,
     stats_cols: tuple = (),
     n_files: int | None = None,
+    properties: dict | None = None,
 ) -> int:
     """Create v1. ``stats_cols`` are recorded per-file for manifest
     pruning on every subsequent read."""
     if current_version(path) > 0:
         raise FileExistsError(f"snapshot table already exists at {path}")
     files = _write_data_files(df, path, 1, n_files)
-    m = _snapshot(spark, path, files, stats_cols, 0, df.schema.json(), "create")
+    m = _snapshot(
+        spark, path, files, stats_cols, 0, df.schema.json(), "create", properties
+    )
     return _commit(path, m, 0)
 
 
 def append_snapshot(
-    spark: SparkSession, path: str, df: DataFrame, n_files: int | None = None
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    n_files: int | None = None,
+    properties: dict | None = None,
 ) -> int:
     """New snapshot = parent's files + this commit's files (no rewrite)."""
     parent = read_manifest(path)
@@ -225,7 +236,7 @@ def append_snapshot(
     files = _write_data_files(df, path, v + 1, n_files)
     m = _snapshot(
         spark, path, files, tuple(parent["stats_cols"]), v,
-        parent["schema"], "append",
+        parent["schema"], "append", properties,
     )
     m["files"] = parent["files"] + m["files"]
     return _commit(path, m, v)
