@@ -491,3 +491,330 @@ def dequantize_int8(df: DataFrame, q_col: str = "q", scale_col: str = "scale"):
     return F.transform(
         F.col(q_col), lambda x: x.cast("double") * F.col(scale_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-bounded ANN scale path. IVF prunes
+# WHICH vectors a query scores; PQ shrinks WHAT is scored: each vector is
+# stored as m sub-space codebook indices (m bytes at k ≤ 256 — a 32× shrink
+# for dim=64 f32), and a query scores candidates with an asymmetric-distance
+# (ADC) lookup-table scan instead of touching the original floats. At 100 TB
+# the encoded corpus fits where the raw one cannot; build-once/query-many
+# like build_knn_index / build_ivf_index / build_pip_index.
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    sample_fraction: float = 1.0,
+    max_sample: int = 100_000,
+) -> np.ndarray:
+    """codebooks (m, k, dim//m): k-means per sub-space over a bounded
+    driver sample (codebooks are a few KB — model state, not data; the
+    ivf_train precedent. ``max_sample`` caps the collect at any corpus
+    size; at 10^12 rows pass sample_fraction ≪ 1 as well). Deterministic:
+    stride-seeded init, no RNG, stable argmin ties."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    df = corpus.select(vec_col)
+    if sample_fraction < 1.0:
+        # deterministic hash sample (sampling.py semantics), not rand()
+        df = df.filter(
+            F.pmod(F.xxhash64(F.col(vec_col).cast("array<float>").cast("string")), 1000)
+            < int(sample_fraction * 1000)
+        )
+    rows = df.limit(max_sample).collect()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    x = _normalize_rows(x).reshape(len(rows), m, dsub)
+    books = np.empty((m, k, dsub), dtype=np.float64)
+    for j in range(m):
+        xs = x[:, j, :]
+        stride = max(len(xs) // k, 1)
+        cb = xs[::stride][:k].copy()
+        if len(cb) < k:  # tiny corpus: pad by wrapping
+            cb = np.resize(cb, (k, dsub))
+        for _ in range(iters):
+            d = ((xs[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+            a = np.argmin(d, axis=1)
+            for c in range(k):
+                hit = xs[a == c]
+                if len(hit):
+                    cb[c] = hit.mean(axis=0)
+        books[j] = cb
+    return books
+
+
+def _pq_encode_udf(spark, codebooks: np.ndarray, normalize: bool):
+    bc = spark.sparkContext.broadcast(codebooks)
+
+    @pandas_udf("array<tinyint>")
+    def _enc(vecs: pd.Series) -> pd.Series:
+        cb = bc.value  # (m, k, dsub)
+        mm, kk, dsub = cb.shape
+        x = np.array(vecs.tolist(), dtype=np.float64)
+        if normalize:
+            x = _normalize_rows(x)
+        x = x.reshape(len(x), mm, dsub)
+        codes = np.empty((len(x), mm), dtype=np.int8)
+        for j in range(mm):
+            d = ((x[:, j, None, :] - cb[None, j]) ** 2).sum(-1)
+            codes[:, j] = np.argmin(d, axis=1).astype(np.int8)
+        return pd.Series(codes.tolist())
+
+    return _enc
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 10,
+    codebooks: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+    materialize_dir: str | None = None,
+):
+    """(codebooks, encoded) — encoded = (id, codes array<tinyint>), the
+    persistent compressed corpus. ``normalize=True`` L2-normalizes before
+    encoding so ADC L2 ranking ≡ cosine ranking (‖a−b‖² = 2−2cosθ on the
+    unit sphere), keeping PQ rank-compatible with the rest of the ANN
+    family. Encoding is one Arrow pass against the broadcast codebooks."""
+    spark = corpus.sparkSession
+    if codebooks is None:
+        codebooks = pq_train(corpus, dim, m, k, iters, vec_col)
+    enc = _pq_encode_udf(spark, codebooks, normalize)
+    encoded = corpus.select(id_col, enc(F.col(vec_col)).alias("codes"))
+    if materialize_dir:
+        from .knn import _materialize_parquet
+
+        encoded = _materialize_parquet(encoded, f"{materialize_dir}/pq_codes")
+    else:
+        encoded = encoded.persist()
+    return codebooks, encoded
+
+
+def pq_topk(
+    prebuilt,
+    queries: DataFrame,
+    k: int = 10,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    normalize: bool = True,
+    rerank_corpus: DataFrame | None = None,
+    shortlist: int | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(q_id, vec_id, adc_dist, rank): asymmetric-distance top-k over the
+    encoded corpus. Per Arrow batch each query contributes ONE (m, k)
+    lookup table of exact sub-distances to every codeword; a candidate's
+    ADC distance is m table lookups summed — the corpus floats are never
+    read. The scan is a broadcast of the (tiny) query LUTs against the
+    code table, then the family's standard (dist asc, id asc) window
+    top-k.
+
+    Pass ``rerank_corpus`` (the raw vector table) to run the standard
+    two-stage PQ pipeline: ADC selects a ``shortlist`` (default 10·k) of
+    candidates per query, then only those rows join back to their floats
+    for an exact-cosine re-rank (`_rerank_sim_udf`, the ivf_topk path) —
+    output becomes (q_id, vec_id, sim, rank). This is what recovers
+    within-cell ranking that quantization erases (vectors sharing all m
+    codes have identical ADC distance); the exact pass touches
+    shortlist×Q rows, not the corpus."""
+    from pyspark.sql.window import Window
+
+    codebooks, encoded = prebuilt
+    spark = encoded.sparkSession
+    mm, kk, dsub = codebooks.shape
+    qrows = queries.select(q_id_col, q_vec_col).collect()
+    qv = np.array([r[1] for r in qrows], dtype=np.float64)
+    if normalize:
+        qv = _normalize_rows(qv)
+    qv = qv.reshape(len(qrows), mm, dsub)
+    luts = ((qv[:, :, None, :] - codebooks[None]) ** 2).sum(-1)  # (Q, m, k)
+    qids = np.array([r[0] for r in qrows])
+    bc = spark.sparkContext.broadcast((qids, luts))
+
+    @pandas_udf("array<double>")
+    def _adc(codes: pd.Series) -> pd.Series:
+        _, t = bc.value
+        c = np.array(codes.tolist(), dtype=np.int64)  # (n, m)
+        # dist[q, row] = sum_j t[q, j, c[row, j]] — one vectorized gather
+        d = t[:, np.arange(c.shape[1])[None, :], c].sum(-1)  # (Q, n)
+        return pd.Series(d.T.tolist())
+
+    scored = encoded.select(
+        "*", F.posexplode(_adc(F.col("codes"))).alias("_qi", "adc_dist")
+    )
+    qmap = spark.createDataFrame(
+        [(int(i), q) for i, q in enumerate(qids.tolist())], f"_qi int, {q_id_col} long"
+    )
+    scored = scored.join(F.broadcast(qmap), "_qi").drop("_qi", "codes")
+    id_col = encoded.columns[0]
+    w = Window.partitionBy(q_id_col).orderBy(F.asc("adc_dist"), F.asc(id_col))
+    if rerank_corpus is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(q_id_col, id_col, "adc_dist", "rank")
+        )
+    short = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= (shortlist or 10 * k))
+        .select(q_id_col, id_col)
+    )
+    cand = short.join(rerank_corpus.select(id_col, vec_col), id_col)
+    simf = _rerank_sim_udf(spark, queries, q_id_col, q_vec_col)
+    rescored = cand.select(
+        q_id_col, id_col, simf(F.col(q_id_col), F.col(vec_col)).alias("sim")
+    )
+    w2 = Window.partitionBy(q_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — the composed 100 TB ANN index (the FAISS IVFPQ shape): IVF
+# prunes WHICH rows a query scores (nprobe coarse lists), PQ shrinks WHAT
+# is scored (m-byte codes, ADC lookup tables). The index table carries
+# (id, list_id, codes) only — for a 10^12-row corpus at m=8 that is ~8 TB
+# where raw f32 dim=64 embeddings are 256 TB; the original floats are
+# touched only by the optional exact re-rank of per-query shortlists.
+# Non-residual variant: codes quantize the (normalized) vectors directly,
+# not the centroid residuals, so the SAME codebooks and ADC tables serve
+# every list — one broadcast, no per-list LUT rebuild — and the encode
+# stays q37-locked. Build-once/query-many like the rest of the family.
+# ---------------------------------------------------------------------------
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    n_lists: int = 64,
+    iters: int = 5,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+    materialize_dir: str | None = None,
+):
+    """(centroids, codebooks, table) where table = (id, list_id, codes):
+    ONE Arrow pass over the corpus computes both the coarse IVF
+    assignment and the PQ codes (the two UDFs share the scan; Catalyst
+    fuses them into a single ArrowEvalPython node)."""
+    spark = corpus.sparkSession
+    if centroids is None:
+        centroids = ivf_train(corpus, dim, n_lists, iters, id_col, vec_col)
+    if codebooks is None:
+        codebooks = pq_train(corpus, dim, m, k, iters, vec_col)
+    enc = _pq_encode_udf(spark, codebooks, normalize)
+    assign = _ivf_assign_udf(spark, centroids)
+    table = corpus.select(
+        id_col,
+        assign(F.col(vec_col)).alias("list_id"),
+        enc(F.col(vec_col)).alias("codes"),
+    )
+    if materialize_dir:
+        from .knn import _materialize_parquet
+
+        table = _materialize_parquet(table, f"{materialize_dir}/ivfpq")
+    else:
+        table = table.persist()
+    return centroids, codebooks, table
+
+
+def ivfpq_topk(
+    prebuilt,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 8,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    normalize: bool = True,
+    rerank_corpus: DataFrame | None = None,
+    shortlist: int | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(q_id, vec_id, adc_dist, rank) — or (q_id, vec_id, sim, rank) with
+    ``rerank_corpus``. Each query explodes to its nprobe closest lists
+    (distributed, ivf_topk's probe pattern); the candidate set is the
+    broadcast-joined probed slice of the code table; candidates score by
+    ADC against the query's own (m, k) lookup table — a row-wise gather,
+    no floats read — then the family's (dist asc, id asc) window top-k,
+    with the optional exact-cosine re-rank of a per-query shortlist on
+    top. nprobe=n_lists degenerates to pq_topk's scan exactly (test-
+    asserted)."""
+    from pyspark.sql.window import Window
+
+    centroids, codebooks, table = prebuilt
+    spark = table.sparkSession
+    mm, kk, dsub = codebooks.shape
+    id_col = table.columns[0]
+
+    qrows = queries.select(q_id_col, q_vec_col).collect()
+    qv = np.array([r[1] for r in qrows], dtype=np.float64)
+    if normalize:
+        qv = _normalize_rows(qv)
+    luts = ((qv.reshape(len(qrows), mm, dsub)[:, :, None, :] - codebooks[None]) ** 2).sum(-1)
+    qidx = {r[0]: i for i, r in enumerate(qrows)}
+    bc = spark.sparkContext.broadcast((qidx, luts))
+
+    cbc = spark.sparkContext.broadcast(centroids)
+
+    @pandas_udf("array<int>")
+    def _probes(vecs: pd.Series) -> pd.Series:
+        c = cbc.value
+        mq = np.array(vecs.tolist(), dtype=np.float64)
+        if normalize:
+            mq = _normalize_rows(mq)
+        order = np.argsort(-(mq @ c.T), axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(order.astype(np.int32).tolist())
+
+    q = queries.select(
+        q_id_col, F.explode(_probes(F.col(q_vec_col))).alias("list_id")
+    )
+
+    @pandas_udf("double")
+    def _adc_pair(qid: pd.Series, codes: pd.Series) -> pd.Series:
+        index, t = bc.value
+        qi = qid.map(index).to_numpy()
+        c = np.array(codes.tolist(), dtype=np.int64)  # (n, m)
+        d = t[qi[:, None], np.arange(c.shape[1])[None, :], c].sum(-1)
+        return pd.Series(d)
+
+    cand = table.join(F.broadcast(q), "list_id")
+    scored = cand.select(
+        q_id_col, id_col, _adc_pair(F.col(q_id_col), F.col("codes")).alias("adc_dist")
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.asc("adc_dist"), F.asc(id_col))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if rerank_corpus is None:
+        return ranked.filter(F.col("rank") <= k).select(
+            q_id_col, id_col, "adc_dist", "rank"
+        )
+    short = ranked.filter(F.col("rank") <= (shortlist or 10 * k)).select(
+        q_id_col, id_col
+    )
+    simf = _rerank_sim_udf(spark, queries, q_id_col, q_vec_col)
+    rescored = short.join(rerank_corpus.select(id_col, vec_col), id_col).select(
+        q_id_col, id_col, simf(F.col(q_id_col), F.col(vec_col)).alias("sim")
+    )
+    w2 = Window.partitionBy(q_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "sim", "rank")
+    )
