@@ -388,6 +388,67 @@ ORACLE = {
         WHERE doc_id BETWEEN 100 AND 299
         GROUP BY lang
     """,
+    # As-of join — DuckDB's native ASOF LEFT JOIN is the reference
+    # semantics (latest right ts <= left ts, inclusive, NULL when none).
+    # (user_id, ts) is unique among the right rows at every SF, so the
+    # match is deterministic on both engines; err_value is a stored double
+    # carried verbatim (no arithmetic — exact parity).
+    "q38_asof_join_sql": """
+        SELECT l.event_id, l.user_id,
+               r.event_id AS err_id, r.value AS err_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') l
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    # Spatial range join — brute-force all-pairs with the operator's exact
+    # chord composition (dx*dx+dy*dy+dz*dz, threshold as (2*SIN(..)) times
+    # itself — never pow) and id1 < id2 canonical pair order.
+    "q39_spatial_range_join_sql": """
+        WITH pts AS (
+          SELECT event_id AS id,
+                 -55.0 + (event_id % 110000)/1000.0 AS lat,
+                 -180.0 + ((event_id*11) % 360000)/1000.0 AS lon
+          FROM events WHERE event_id % 7 = 0),
+        cand AS (
+          SELECT a.id AS id1, b.id AS id2,
+                 (COS(RADIANS(a.lat))*COS(RADIANS(a.lon)) - COS(RADIANS(b.lat))*COS(RADIANS(b.lon))) AS dx,
+                 (COS(RADIANS(a.lat))*SIN(RADIANS(a.lon)) - COS(RADIANS(b.lat))*SIN(RADIANS(b.lon))) AS dy,
+                 (SIN(RADIANS(a.lat)) - SIN(RADIANS(b.lat))) AS dz
+          FROM pts a JOIN pts b ON a.id < b.id)
+        SELECT id1, id2,
+               ROUND(2.0*6371008.8*ASIN(SQRT(dx*dx + dy*dy + dz*dz)/2.0), 3) AS dist_r3
+        FROM cand
+        WHERE dx*dx + dy*dy + dz*dz
+              <= (2*SIN(15000.0/(2*6371008.8)))*(2*SIN(15000.0/(2*6371008.8)))
+    """,
+    # Interval (range-containment) join — plain BETWEEN join; interval
+    # bounds are whole-hour timestamp adds (exact in both engines' 64-bit
+    # microsecond timestamps).
+    "q40_interval_join_sql": """
+        SELECT l.event_id, l.user_id, r.iv_id
+        FROM (SELECT * FROM events WHERE event_type = 'click') l
+        JOIN (SELECT event_id AS iv_id, user_id, ts AS s,
+                     ts + (event_id % 24 + 1) * INTERVAL 1 HOUR AS e
+              FROM events WHERE event_type = 'view') r
+          ON l.user_id = r.user_id AND l.ts >= r.s AND l.ts <= r.e
+    """,
+    # PQ encode — per-subspace nearest-codeword argmin recomputed with
+    # nested list_transform; list_indexof(d, list_min(d)) is first-match,
+    # the numpy argmin tie rule. (x)*(x) both sides, never pow().
+    "q37_pq_encode_sql": """
+        SELECT vec_id, CAST(j AS BIGINT) AS j,
+               CAST(list_indexof(d, list_min(d)) - 1 AS BIGINT) AS code
+        FROM (
+          SELECT vec_id, j,
+                 list_transform(range(8), c -> list_sum(list_transform(range(16), t ->
+                   (CAST(embedding[j*16 + t + 1] AS DOUBLE)
+                      - (((j*31 + c*17 + t*7) % 101)/101.0 - 0.5))
+                   * (CAST(embedding[j*16 + t + 1] AS DOUBLE)
+                      - (((j*31 + c*17 + t*7) % 101)/101.0 - 0.5))
+                 ))) AS d
+          FROM embeddings, (SELECT unnest(range(4)) AS j)
+        )
+    """,
     # G5 kNN — cross-join argmin with the operator's exact chord formula
     # and (c2, way_id) tie order
     "q12_knn_bruteforce_sql": """
@@ -1176,6 +1237,57 @@ def r16_curate_corpus(spark, sf_dir):
     return decisions
 
 
+def r17_pq_topk(spark, sf_dir):
+    """PQ ADC top-k end-to-end (train → encode → LUT scan → window top-k)
+    over the embeddings table, querying 8 member vectors. Rows-only by
+    design: the encode argmin is hash-locked by q37 and the ADC math by
+    test_pq (adc == exact numpy recompute); this entry exercises the
+    composed production path per round. Deterministic (stride-seeded
+    k-means, stable argmins, (dist, id) tie order)."""
+    from wayproblems_spark.operators.similarity import (
+        build_pq_index,
+        pq_topk,
+        pq_train,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    cb = pq_train(e, dim=64, m=8, k=16, iters=5)
+    prebuilt = build_pq_index(e, dim=64, codebooks=cb)
+    queries = e.orderBy("vec_id").limit(8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = pq_topk(prebuilt, queries, k=10).select(
+        "q_id", "vec_id", F.round("adc_dist", 6).alias("adc_r6"), "rank"
+    )
+    out = out.localCheckpoint(eager=True)
+    prebuilt[1].unpersist()
+    return out
+
+
+def r18_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composed ANN (coarse-list probe → ADC lookup-table scan →
+    exact re-rank of the shortlist) over the embeddings table. Rows-only
+    by design: the PQ encode argmin is hash-locked by q37, the IVF list
+    math by q22, and the ADC gather by test_pq; this entry exercises the
+    composed production path (the FAISS-IVFPQ shape — the index the
+    engine would actually ship at 10^12 rows) per round. Deterministic
+    end-to-end (stride-seeded codebooks, hash-seeded centroids, stable
+    argmins, (sim desc, id asc) tie order)."""
+    from wayproblems_spark.operators.similarity import build_ivfpq_index, ivfpq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    pre = build_ivfpq_index(e, dim=64, m=8, k=16, n_lists=16, iters=4)
+    queries = e.orderBy("vec_id").limit(8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = ivfpq_topk(
+        pre, queries, k=10, nprobe=4, rerank_corpus=e, shortlist=100
+    ).select("q_id", "vec_id", F.round("sim", 6).alias("sim_r6"), "rank")
+    out = out.localCheckpoint(eager=True)
+    pre[2].unpersist()
+    return out
+
+
 def q11_tile_counts_sql(spark, sf_dir):
     """G6 tile math oracle-checked: deterministic synthetic lat/lon derived
     from event_id, slippy tile assignment at z=11 via the production
@@ -1905,6 +2017,110 @@ def q36_snapshot_prune_sql(spark, sf_dir):
     )
 
 
+def q38_asof_join_sql(spark, sf_dir):
+    """As-of join oracle: the production `asof_join` (operators/temporal.py
+    — union → one key shuffle → running last(ignorenulls) carry; the
+    sort-merge-asof physical shape) attributing every click to the user's
+    most recent prior-or-equal error, vs DuckDB's native ASOF LEFT JOIN.
+    (user_id, ts) is unique on the right side at every SF (fixture-checked)
+    so both engines' match is deterministic; ~7% of clicks have no prior
+    error, exercising the NULL branch."""
+    from wayproblems_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        "ts",
+        F.col("value").alias("err_value"),
+    )
+    out = asof_join(
+        clicks, errors, on="user_id", left_ts="ts",
+        right_cols=["err_id", "err_value"],
+    )
+    return out.select("event_id", "user_id", "err_id", "err_value")
+
+
+def q39_spatial_range_join_sql(spark, sf_dir):
+    """Spatial range-join oracle: the production `spatial_range_join`
+    (operators/spatial_join.py — grid-cell equi-join with wrapped 3×3 ring
+    registration, corner-cell brute tail, exact chord filter) at radius
+    15 km over the q12 synthetic lattice, vs a DuckDB brute-force
+    all-pairs recompute with the identical chord formula. dist rounded to
+    mm (r3) to absorb libm-vs-JVM trig ulp; the <=-threshold decision
+    itself shares the exact constant composition on both sides (boundary
+    flip odds ~1e-15/pair, the q12/q13 stance)."""
+    from wayproblems_spark.operators.spatial_join import spatial_range_join
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.filter(F.col("event_id") % 7 == 0).select(
+        F.col("event_id").alias("id"),
+        (F.lit(-55.0) + (F.col("event_id") % 110000) / 1000.0).alias("lat"),
+        (F.lit(-180.0) + ((F.col("event_id") * 11) % 360000) / 1000.0).alias("lon"),
+    )
+    out = spatial_range_join(pts, radius_m=15000.0)
+    return out.select("id1", "id2", F.round("dist_m", 3).alias("dist_r3"))
+
+
+def q40_interval_join_sql(spark, sf_dir):
+    """Interval-join oracle: the production `interval_join`
+    (operators/temporal.py — right intervals exploded into fixed-width
+    time buckets, left keyed by its single bucket, equi-join + exact
+    BETWEEN filter; each match found exactly once) matching clicks into
+    per-user view windows [ts, ts + (id%24+1)h], vs a DuckDB BETWEEN
+    join. Whole-hour interval adds are exact in 64-bit µs timestamps."""
+    from wayproblems_spark.operators.temporal import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("iv_id"),
+        "user_id",
+        F.col("ts").alias("s"),
+        F.expr(
+            "ts + make_interval(0, 0, 0, 0, CAST(event_id % 24 + 1 AS INT), 0, 0)"
+        ).alias("e"),
+    )
+    out = interval_join(
+        clicks, views, on="user_id", left_ts="ts",
+        start_col="s", end_col="e", bucket_width_s=3600, closed="both",
+    )
+    return out.select("event_id", "user_id", "iv_id")
+
+
+def q37_pq_encode_sql(spark, sf_dir):
+    """Product-quantization encode oracle: the PRODUCTION `build_pq_index`
+    (operators/similarity.py — Arrow-batched per-subspace nearest-codeword
+    argmin) over the embeddings table with CLOSED-FORM codebooks
+    (((j*31+c*17+t*7) % 101)/101.0 - 0.5 — identical IEEE arithmetic in
+    numpy and DuckDB), vs DuckDB recomputing every subspace argmin with
+    nested list_transform. Output is pure integers (vec_id, subspace,
+    code), so the only cross-engine float surface is the argmin decision
+    itself; tests/test_pq.py::test_oracle_argmin_margins asserts every
+    runner-up margin on this corpus is > 1e-9 (≫ the 1-ulp summation-order
+    difference between numpy pairwise and DuckDB sequential sums)."""
+    import numpy as np
+
+    from wayproblems_spark.operators.similarity import build_pq_index
+
+    j, c, t = np.meshgrid(np.arange(4), np.arange(8), np.arange(16), indexing="ij")
+    cb = ((j * 31 + c * 17 + t * 7) % 101) / 101.0 - 0.5
+    e = _t(spark, sf_dir, "embeddings")
+    _, encoded = build_pq_index(e, dim=64, m=4, k=8, codebooks=cb, normalize=False)
+    return encoded.select(
+        "vec_id", F.posexplode("codes").alias("j", "code")
+    ).select(
+        "vec_id",
+        F.col("j").cast("long").alias("j"),
+        F.col("code").cast("long").alias("code"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full wayproblems pipeline on the deterministic fixture
     corpus (pages → extract → geoparse → resolve → 230-site rule engine)."""
@@ -1956,6 +2172,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_rules_catalog_sql": q34_rules_catalog_sql,
         "q35_tile_pyramid_sql": q35_tile_pyramid_sql,
         "q36_snapshot_prune_sql": q36_snapshot_prune_sql,
+        "q37_pq_encode_sql": q37_pq_encode_sql,
+        "q38_asof_join_sql": q38_asof_join_sql,
+        "q39_spatial_range_join_sql": q39_spatial_range_join_sql,
+        "q40_interval_join_sql": q40_interval_join_sql,
         "r01_wayproblems_problems": r01_wayproblems_problems,
         "r02_wayproblems_stdout": r02_wayproblems_stdout,
         "r03_tile_counts": r03_tile_counts,
@@ -1972,6 +2192,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r14_near_dup_groups": r14_near_dup_groups,
         "r15_embedding_near_dups": r15_embedding_near_dups,
         "r16_curate_corpus": r16_curate_corpus,
+        "r17_pq_topk": r17_pq_topk,
+        "r18_ivfpq_topk": r18_ivfpq_topk,
     }
 
 

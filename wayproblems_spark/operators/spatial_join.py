@@ -1,0 +1,183 @@
+"""Spatial range join: all point pairs within a great-circle radius.
+
+The reference has no spatial joins at all (its one join is the node-location
+equi lookup, wayproblems.cpp way()); kNN (operators/knn.py) answers "nearest
+one", this answers "everything within r" — the other workhorse spatial-join
+shape (deduplicating POI feeds, clustering observations, blast-radius
+queries).
+
+Scale shape — the bit a naive `l.crossJoin(r).filter(dist < r)` gets
+catastrophically wrong: points key by their S2-style grid cell at a level
+chosen so the cell min-edge ≥ radius; one side additionally registers into
+its wrapped 3×3 neighbor ring (the exact machinery kNN's index build uses —
+JVM bit-math for interior cells, the numpy wrap UDF only for the face-edge
+sliver). Any pair within the radius then shares a (ring-cell, own-cell) key:
+the wrapped-ring coverage bound is the one validated in
+tests/test_knn_faces.py (points OUTSIDE a cell's wrapped ring sit at chord
+distance ≥ 1.037 × min-edge, and cube-corner cells are excluded from that
+guarantee in kNN — here the level constraint radius ≤ min_edge keeps the
+same margin). The join is a plain equi-join on the cell id — ONE shuffle of
+each side, candidate sets bounded by local density × 9 cells, never by
+corpus size — followed by the exact trig-free chord-distance filter.
+
+Distances: unit-sphere squared chord (monotone in great-circle arc),
+converted to meters only for the output column — identical formula chain to
+knn.py so q12's DuckDB parity carries over.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .cells import MAX_LEVEL, grid_expr_from_xyz, neighbor_grid_ids, ring_grid_udf
+from .knn import (
+    EARTH_RADIUS_M,
+    _MIN_EDGE_RAD,
+    _chord2,
+    _chord2_to_m,
+    _near_face_edge,
+    _with_xyz,
+    cell_min_edge_m,
+    is_corner_cell,
+)
+
+
+def level_for_radius(radius_m: float) -> int:
+    """Finest grid level whose cell min-edge still covers the radius
+    (min_edge(L) ≥ radius ⇒ the wrapped 3×3 ring contains every point
+    within the radius). Finer = smaller candidate sets, so take the max."""
+    if radius_m <= 0:
+        raise ValueError("radius_m must be positive")
+    level = int(math.floor(math.log2(_MIN_EDGE_RAD * EARTH_RADIUS_M / radius_m)))
+    return max(1, min(level, MAX_LEVEL - 2))
+
+
+def _registered(df: DataFrame, id_col: str, lat_col: str, lon_col: str,
+                level: int, ring: bool,
+                drop_corner_residents: bool = False) -> DataFrame:
+    """(id, x, y, z, cell) — one row per cell the point registers in: its
+    own cell (ring=False) or its wrapped 3×3 ring (ring=True). Interior
+    points ring-expand with pure-JVM bit math; only the face-edge sliver
+    pays the numpy wrap UDF. array_distinct kills the corner-wrap
+    duplicates kNN can ignore but a pair-emitting join cannot.
+    drop_corner_residents removes points whose OWN cell is a cube corner
+    (their ring coverage bound is unvalidated — they take the brute tail);
+    a non-corner point registering INTO a corner cell stays, that
+    registration is how corner-cell residents are found by neighbors."""
+    # vx/vy/vz naming: _near_face_edge is written against kNN's vertex
+    # prefix; rename to the public x/y/z only on the way out
+    g = _with_xyz(df, lat_col, lon_col, "v").select(
+        F.col(id_col).alias("_id"), "vx", "vy", "vz",
+        F.col(lat_col).alias("_lat"), F.col(lon_col).alias("_lon"),
+    ).withColumn(
+        "_g", grid_expr_from_xyz(F.col("vx"), F.col("vy"), F.col("vz"), level)
+    )
+    if drop_corner_residents:
+        g = g.filter(~is_corner_cell(F.col("_g"), level))
+    xyz = [F.col("vx").alias("x"), F.col("vy").alias("y"), F.col("vz").alias("z")]
+    if not ring:
+        return g.select("_id", *xyz, F.col("_g").alias("cell"))
+    near = _near_face_edge(level)
+    interior = g.filter(~near).select(
+        "_id", *xyz,
+        F.explode(F.array_distinct(neighbor_grid_ids(F.col("_g"), level))).alias("cell"),
+    )
+    edge = g.filter(near).select(
+        "_id", *xyz,
+        F.explode(
+            F.array_distinct(ring_grid_udf(level)(F.col("_lat"), F.col("_lon")))
+        ).alias("cell"),
+    )
+    return interior.unionByName(edge)
+
+
+def spatial_range_join(
+    left: DataFrame,
+    radius_m: float,
+    right: DataFrame | None = None,
+    level: int | None = None,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    right_id_col: str | None = None,
+) -> DataFrame:
+    """All pairs within ``radius_m`` meters (great-circle).
+
+    Self-join (right=None): returns (id1, id2, dist_m) with id1 < id2,
+    each unordered pair exactly once. Two-table: returns
+    (``id_col``, ``right_id_col``, dist_m), each pair once.
+
+    ``level`` defaults to the finest level whose cells still cover the
+    radius; passing a coarser one is allowed (bigger candidate sets),
+    a finer one raises (would miss pairs).
+    """
+    lvl = level_for_radius(radius_m) if level is None else level
+    if cell_min_edge_m(lvl) < radius_m:
+        raise ValueError(
+            f"level {lvl} min-edge {cell_min_edge_m(lvl):.0f}m < radius "
+            f"{radius_m}m — ring coverage would miss pairs"
+        )
+    # squared chord corresponding to the great-circle radius; t*t (not
+    # pow) so the DuckDB oracle's (2*SIN(..))*(2*SIN(..)) is the same op
+    t = 2.0 * math.sin(radius_m / (2.0 * EARTH_RADIUS_M))
+    thr = t * t
+
+    self_join = right is None
+    rid = right_id_col or id_col
+    # The wrapped-ring coverage bound is validated for NON-corner cells only
+    # (kNN escalates corner cells for the same reason). A pair is emitted by
+    # the ring of exactly one designated member — self-join: the smaller id;
+    # two-table: the left row — so that member's ring must be trustworthy.
+    # Corner-RESIDENT designated members (≤ 24 cells/level exist globally,
+    # usually zero rows) take a brute broadcast tail instead.
+    own = _registered(left, id_col, lat_col, lon_col, lvl, ring=False)
+    corner_pts = own.filter(is_corner_cell(F.col("cell"), lvl))
+    n_corner = corner_pts.count()
+    ring_side = _registered(
+        left, id_col, lat_col, lon_col, lvl, ring=True,
+        drop_corner_residents=bool(n_corner),
+    )
+    cell_side = (
+        own if self_join
+        else _registered(right, rid, lat_col, lon_col, lvl, ring=False)
+    )
+
+    a, b = ring_side.alias("a"), cell_side.alias("b")
+    pairs = a.join(b, F.col("a.cell") == F.col("b.cell"), "inner")
+    if self_join:
+        # every pair is produced once from each member's ring — keep one,
+        # designated by the smaller id
+        pairs = pairs.filter(F.col("a._id") < F.col("b._id"))
+
+    def _emit(p, out_l, out_r):
+        c2 = _chord2(
+            F.col("a.x"), F.col("a.y"), F.col("a.z"),
+            F.col("b.x"), F.col("b.y"), F.col("b.z"),
+        )
+        return (
+            p.withColumn("_c2", c2)
+            .filter(F.col("_c2") <= thr)
+            .select(
+                F.col("a._id").alias(out_l),
+                F.col("b._id").alias(out_r),
+                _chord2_to_m(F.col("_c2")).alias("dist_m"),
+            )
+        )
+
+    out_l = "id1" if self_join else id_col
+    out_r = "id2" if self_join else rid
+    out = _emit(pairs, out_l, out_r)
+    if n_corner:
+        tail = (
+            F.broadcast(corner_pts.select("_id", "x", "y", "z")).alias("a")
+            .join(
+                cell_side.select("_id", "x", "y", "z").alias("b"),
+                (F.col("a._id") < F.col("b._id")) if self_join else F.lit(True),
+                "inner",
+            )
+        )
+        out = out.unionByName(_emit(tail, out_l, out_r))
+    return out
