@@ -432,6 +432,54 @@ ORACLE = {
               FROM events WHERE event_type = 'view') r
           ON l.user_id = r.user_id AND l.ts >= r.s AND l.ts <= r.e
     """,
+    # BM25 — full closed-form recompute with the q32-locked tokenizer.
+    # Every float expression is written in the operator's exact
+    # composition order; (1.2 + 1.0) stays unevaluated (the Python side
+    # computes k1+1 the same way — a 2.2 literal could differ by 1 ulp);
+    # per-term scores sum through DECIMAL(38,12) (exact, associative) so
+    # accumulation order can't flip a bit on either engine.
+    "q41_bm25_sql": """
+        WITH toks AS (
+          SELECT doc_id, unnest(list_filter(
+                   string_split_regex(
+                     regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                     '\\s+'),
+                   x -> x <> '')) AS term
+          FROM documents),
+        dl AS (
+          SELECT doc_id, len(list_filter(
+                   string_split_regex(
+                     regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                     '\\s+'),
+                   x -> x <> '')) AS dl
+          FROM documents),
+        stats AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+          FROM dl),
+        p AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM toks
+          WHERE term IN ('join', 'scan', 'merge', 'window')
+          GROUP BY doc_id, term),
+        dfq AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
+        t AS (
+          SELECT p.doc_id,
+                 LN(1.0 + (s.n - CAST(dfq.df AS DOUBLE) + 0.5)
+                          / (CAST(dfq.df AS DOUBLE) + 0.5))
+                 * ((CAST(p.tf AS DOUBLE) * (1.2 + 1.0))
+                    / (CAST(p.tf AS DOUBLE)
+                       + 1.2 * (1.0 - 0.75
+                                + 0.75 * CAST(d.dl AS DOUBLE) / s.avgdl)))
+                 AS term_score
+          FROM p
+          JOIN dfq USING (term)
+          JOIN dl d USING (doc_id)
+          CROSS JOIN stats s)
+        SELECT doc_id,
+               ROUND(CAST(SUM(CAST(term_score AS DECIMAL(38,12))) AS DOUBLE),
+                     6) AS score_r6
+        FROM t GROUP BY doc_id
+    """,
     # PQ encode — per-subspace nearest-codeword argmin recomputed with
     # nested list_transform; list_indexof(d, list_min(d)) is first-match,
     # the numpy argmin tie rule. (x)*(x) both sides, never pow().
@@ -2093,6 +2141,22 @@ def q40_interval_join_sql(spark, sf_dir):
     return out.select("event_id", "user_id", "iv_id")
 
 
+def q41_bm25_sql(spark, sf_dir):
+    """BM25 relevance oracle: the production `bm25_score`
+    (operators/ranking.py — literal-query-pruned postings, broadcast df
+    table, corpus stats folded in as constants, decimal(38,12) term-score
+    accumulation) for the query [join scan merge window] over the
+    documents table, vs a DuckDB closed-form recompute with the identical
+    float composition. Scores rounded to r6; the only cross-engine float
+    surface is LN (same libm) — the decimal sum removes accumulation
+    order entirely."""
+    from wayproblems_spark.operators.ranking import bm25_score
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_score(docs, ["join", "scan", "merge", "window"])
+    return out.select("doc_id", F.round("score", 6).alias("score_r6"))
+
+
 def q37_pq_encode_sql(spark, sf_dir):
     """Product-quantization encode oracle: the PRODUCTION `build_pq_index`
     (operators/similarity.py — Arrow-batched per-subspace nearest-codeword
@@ -2176,6 +2240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_asof_join_sql": q38_asof_join_sql,
         "q39_spatial_range_join_sql": q39_spatial_range_join_sql,
         "q40_interval_join_sql": q40_interval_join_sql,
+        "q41_bm25_sql": q41_bm25_sql,
         "r01_wayproblems_problems": r01_wayproblems_problems,
         "r02_wayproblems_stdout": r02_wayproblems_stdout,
         "r03_tile_counts": r03_tile_counts,

@@ -295,6 +295,33 @@ def run_suite(spark, emit_fingerprints: bool = False) -> dict:
             knn.select("point_id", "way_id", F.round("dist_m", 6).alias("d"))
         )
 
+    # Spatial range-join leg (round 6): all pairs within 150 m over the
+    # SAME staged points — the "everything within r" companion to knn's
+    # "nearest one". Grid equi-join at the auto level (15 at 150 m), 9×
+    # wrapped-ring registration on one side, exact chord filter; ~26.6M
+    # output pairs from 3.6M points at bench scale. No internal persists:
+    # each rep rebuilds the whole frame (the operator's corner-census job
+    # is part of its honest per-call cost).
+    from wayproblems_spark.operators.spatial_join import spatial_range_join
+
+    rj_holder = {}
+
+    def _range_join():
+        rj_holder["df"] = spatial_range_join(
+            pts.select(F.col("point_id").alias("id"), "lat", "lon"),
+            radius_m=150.0,
+        )
+        return rj_holder["df"].count()
+
+    _range_join()  # warm codegen + python workers (untimed)
+    counts["range_pairs"] = timed("range_join", _range_join, reps=2)
+    if emit_fingerprints:
+        fingerprints["range_join"] = content_fingerprint(
+            rj_holder["df"].select(
+                "id1", "id2", F.round("dist_m", 6).alias("d")
+            )
+        )
+
     # PIP leg: the staged 3.6M points against a 32×32 grid of octagons
     # (1024 polys, 8192 edges) covering the corpus bbox — measures the
     # codegen ray cast (broadcast bucket join → broadcast edge join →
@@ -826,6 +853,7 @@ def main_scaling():
     for leg in (
         "knn_build", "pip_build", "control_arith", "control_scan",
         "control_mix", "minhash_dedup", "ann_ivf_build", "ann_ivf_topk",
+        "range_join",
     ):
         if leg in r8.get("queries", {}) and leg in r32.get("queries", {}):
             eff[leg] = round((r8["queries"][leg] / r32["queries"][leg]) / 4.0, 3)
