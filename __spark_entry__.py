@@ -480,6 +480,252 @@ ORACLE = {
                      6) AS score_r6
         FROM t GROUP BY doc_id
     """,
+    # Chunking — all-integer boundary math (exact cross-engine), the
+    # q32-locked tokenizer, and string equality on the joined chunk text.
+    # target=32, overlap=8 → step=24; docs are 10..99 tokens → 1-4 chunks.
+    "q42_chunking_sql": """
+        WITH t AS (
+          SELECT doc_id, list_filter(
+                   string_split_regex(
+                     regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                     '\\s+'),
+                   x -> x <> '') AS toks
+          FROM documents),
+        s AS (
+          SELECT doc_id, toks, len(toks) AS n,
+                 CASE WHEN len(toks) <= 32 THEN 1
+                      ELSE 1 + CAST(FLOOR((len(toks) - 32 + 23) / 24.0) AS INT)
+                 END AS n_chunks
+          FROM t WHERE len(toks) > 0),
+        c0 AS (
+          SELECT doc_id, toks, n,
+                 unnest(range(n_chunks)) AS chunk_idx
+          FROM s),
+        c AS (
+          SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                 list_slice(toks, chunk_idx*24 + 1,
+                            least(chunk_idx*24 + 32, n)) AS chunk
+          FROM c0)
+        SELECT doc_id, chunk_idx,
+               CAST(len(chunk) AS BIGINT) AS n_tokens,
+               array_to_string(chunk, ' ') AS chunk_text
+        FROM c
+    """,
+    # Sample packing — chunk n_tokens recomputed closed-form (the q42
+    # boundary math), then the identical sharded window cumsum + budget
+    # split. All-integer; // and FLOOR(x/64.0) agree for nonnegative
+    # bigints far below 2^53.
+    "q43_packing_sql": """
+        WITH t AS (
+          SELECT doc_id, len(list_filter(
+                   string_split_regex(
+                     regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                     '\\s+'),
+                   x -> x <> '')) AS n
+          FROM documents),
+        s AS (
+          SELECT doc_id, n,
+                 CASE WHEN n <= 32 THEN 1
+                      ELSE 1 + CAST(FLOOR((n - 32 + 23) / 24.0) AS INT)
+                 END AS n_chunks
+          FROM t WHERE n > 0),
+        c0 AS (
+          SELECT doc_id, n, unnest(range(n_chunks)) AS chunk_idx FROM s),
+        c AS (
+          SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                 CAST(LEAST(chunk_idx*24 + 32, n) - chunk_idx*24 AS BIGINT) AS nt
+          FROM c0),
+        b AS (
+          SELECT doc_id % 8 AS shard, doc_id, chunk_idx, nt,
+                 CAST(SUM(nt) OVER (PARTITION BY doc_id % 8
+                                    ORDER BY doc_id, chunk_idx
+                                    ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum
+          FROM c),
+        e AS (
+          SELECT shard, doc_id, chunk_idx, nt, cum, cum - nt AS st,
+                 unnest(range((cum - nt) // 64, (cum - 1) // 64 + 1)) AS seq_id
+          FROM b)
+        SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id, chunk_idx,
+               GREATEST(st, seq_id*64) - st AS off_start,
+               LEAST(cum, (seq_id + 1)*64) - st AS off_end,
+               GREATEST(st, seq_id*64) - seq_id*64 AS pos
+        FROM e
+    """,
+    # PII redaction — identical deterministic injection on both sides,
+    # then the operator's fixed-order regexp_replace chain. Patterns are
+    # restricted to java.util.regex ∩ RE2-identical constructs; DuckDB
+    # needs the explicit 'g' flag (Spark replaces all by default).
+    "q44_pii_redact_sql": """
+        WITH inj AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@mail.example.org from 10.'
+                      || CAST(doc_id % 200 AS VARCHAR)
+                      || '.0.7 ref 9' || CAST(doc_id * 7919 AS VARCHAR)
+                 AS t
+          FROM documents),
+        st AS (
+          SELECT doc_id, t,
+                 regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}',
+                                '<EMAIL>', 'g') AS t1
+          FROM inj),
+        st2 AS (
+          SELECT doc_id, t, t1,
+                 regexp_replace(t1, '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b',
+                                '<IP>', 'g') AS t2
+          FROM st)
+        SELECT doc_id,
+               regexp_replace(t2, '\\d{7,}', '<NUM>', 'g') AS scrubbed,
+               CAST(len(regexp_extract_all(
+                 t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT)
+                 AS n_email,
+               CAST(len(regexp_extract_all(
+                 t1, '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b')) AS BIGINT) AS n_ip,
+               CAST(len(regexp_extract_all(t2, '\\d{7,}')) AS BIGINT) AS n_num
+        FROM st2
+    """,
+    # Repetition stats — q32-locked tokenizer, gram counts rebuilt with
+    # unnest; the "most frequent, ties to smallest gram" witness is
+    # max(cnt) + min(gram) FILTERed to the max (Spark: min(struct(-cnt,
+    # gram))). Fractions are one BIGINT/BIGINT IEEE division both sides.
+    "q45_repetition_sql": """
+        WITH t AS (
+          SELECT doc_id, list_filter(
+                   string_split_regex(
+                     regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                     '\\s+'),
+                   x -> x <> '') AS toks
+          FROM documents),
+        nz AS (SELECT * FROM t WHERE len(toks) > 0),
+        uni AS (
+          SELECT doc_id, unnest(toks) AS gram FROM nz),
+        ucnt AS (SELECT doc_id, gram, count(*) AS c FROM uni GROUP BY ALL),
+        uagg AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS total,
+                 max(c) AS top_c
+          FROM ucnt GROUP BY doc_id),
+        utop AS (
+          SELECT c.doc_id, min(c.gram) AS top_gram
+          FROM ucnt c JOIN uagg a ON c.doc_id = a.doc_id AND c.c = a.top_c
+          GROUP BY c.doc_id),
+        bi AS (
+          SELECT doc_id, toks[i+1] || ' ' || toks[i+2] AS gram
+          FROM nz, unnest(range(len(toks) - 1)) AS u(i)),
+        bcnt AS (SELECT doc_id, gram, count(*) AS c FROM bi GROUP BY ALL),
+        bagg AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS total,
+                 CAST(count(*) AS BIGINT) AS nd, max(c) AS top_c
+          FROM bcnt GROUP BY doc_id),
+        btop AS (
+          SELECT c.doc_id, min(c.gram) AS top_gram
+          FROM bcnt c JOIN bagg a ON c.doc_id = a.doc_id AND c.c = a.top_c
+          GROUP BY c.doc_id)
+        SELECT u.doc_id,
+               u.total AS n_tokens,
+               ut.top_gram AS top_token,
+               CAST(u.top_c AS BIGINT) / u.total AS top_token_frac,
+               COALESCE(b.total, 0) AS n_bigrams,
+               b.nd / b.total AS distinct_bigram_frac,
+               bt.top_gram AS top_bigram,
+               CAST(b.top_c AS BIGINT) / b.total AS top_bigram_frac
+        FROM uagg u
+        JOIN utop ut ON u.doc_id = ut.doc_id
+        LEFT JOIN bagg b ON u.doc_id = b.doc_id
+        LEFT JOIN btop bt ON u.doc_id = bt.doc_id
+    """,
+    # Decontamination — benchmark = every 13th document; 5-gram strings
+    # rebuilt with the same tokenizer; all-string equality join, per-doc
+    # rollup LEFT-joined back so clean docs carry zeros.
+    "q46_decontam_sql": """
+        WITH t AS (
+          SELECT doc_id, list_filter(
+                   string_split_regex(
+                     regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                     '\\s+'),
+                   x -> x <> '') AS toks
+          FROM documents),
+        bg AS (
+          SELECT DISTINCT array_to_string(list_slice(toks, i+1, i+5), ' ')
+                   AS gram
+          FROM t, unnest(range(len(toks) - 4)) AS u(i)
+          WHERE doc_id % 13 = 0),
+        dg AS (
+          SELECT doc_id, array_to_string(list_slice(toks, i+1, i+5), ' ')
+                   AS gram
+          FROM t, unnest(range(len(toks) - 4)) AS u(i)),
+        h AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+                 CAST(count(DISTINCT gram) AS BIGINT) AS nd
+          FROM dg JOIN bg USING (gram) GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(h.n_hits, 0) AS n_hits,
+               COALESCE(h.nd, 0) AS n_distinct_hit_grams,
+               COALESCE(h.n_hits, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+    """,
+    # Domain rollup — deterministic per-doc URL injection, then the full
+    # parse chain (RE2 ∩ java.util.regex URL regex, lowercase, trailing
+    # dot + www. strip, suffix-aware registered domain) independently in
+    # SQL. n_hosts counts the raw lowercased parse host.
+    "q47_domain_stats_sql": """
+        WITH inj AS (
+          SELECT doc_id, length(text) AS nchars,
+                 CASE doc_id % 6
+                   WHEN 0 THEN 'https://www.alpha.example.com/' || source
+                   WHEN 1 THEN 'https://shop.alpha.example.com/p/'
+                               || CAST(doc_id AS VARCHAR)
+                   WHEN 2 THEN 'http://News.beta.co.uk:8080/'
+                               || CAST(doc_id AS VARCHAR)
+                   WHEN 3 THEN 'https://cdn.beta.co.uk./x'
+                   WHEN 4 THEN 'https://10.' || CAST(doc_id % 200 AS VARCHAR)
+                               || '.0.9/raw'
+                   ELSE 'no scheme here ' || CAST(doc_id AS VARCHAR)
+                 END AS url
+          FROM documents),
+        p AS (
+          SELECT doc_id, nchars,
+                 lower(regexp_extract(url,
+                   '^([a-z][a-z0-9+.-]*)://([^/:?#]*)(?::([0-9]+))?([^?#]*)',
+                   2)) AS rawhost,
+                 regexp_extract(url,
+                   '^([a-z][a-z0-9+.-]*)://', 1) <> '' AS valid
+          FROM inj),
+        nh AS (
+          SELECT doc_id, nchars,
+                 CASE WHEN valid THEN rawhost END AS host,
+                 CASE WHEN valid THEN
+                   regexp_replace(regexp_replace(rawhost, '\\.$', ''),
+                                  '^www\\.', '')
+                 END AS norm
+          FROM p),
+        d AS (
+          SELECT doc_id, nchars, host,
+                 CASE
+                   WHEN norm IS NULL THEN NULL
+                   WHEN regexp_matches(norm,
+                        '^[0-9]{1,3}(\\.[0-9]{1,3}){3}$')
+                        OR len(string_split(norm, '.')) < 2 THEN norm
+                   WHEN string_split(norm, '.')[-2] || '.'
+                        || string_split(norm, '.')[-1] IN
+                        ('co.uk','org.uk','ac.uk','gov.uk','com.au',
+                         'net.au','org.au','co.jp','or.jp','ne.jp',
+                         'com.br','com.cn','com.mx','co.in','co.nz',
+                         'co.za','com.tr','com.ar')
+                        AND len(string_split(norm, '.')) >= 3
+                   THEN string_split(norm, '.')[-3] || '.'
+                        || string_split(norm, '.')[-2] || '.'
+                        || string_split(norm, '.')[-1]
+                   ELSE string_split(norm, '.')[-2] || '.'
+                        || string_split(norm, '.')[-1]
+                 END AS domain
+          FROM nh)
+        SELECT domain,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nchars) AS BIGINT) AS n_chars,
+               CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+        FROM d GROUP BY domain
+    """,
     # PQ encode — per-subspace nearest-codeword argmin recomputed with
     # nested list_transform; list_indexof(d, list_min(d)) is first-match,
     # the numpy argmin tie rule. (x)*(x) both sides, never pow().
@@ -1336,6 +1582,40 @@ def r18_ivfpq_topk(spark, sf_dir):
     return out
 
 
+def r19_simplify_ways(spark, sf_dir):
+    """Douglas-Peucker simplification over deterministic synthetic
+    polylines (24-vertex zigzags with event_id-derived amplitude, so some
+    ways collapse to endpoints and others keep every spike). Rows-only by
+    design (per-feature recursion has no SQL analog); the operator's
+    correctness gate is tests/test_chunk_simplify.py — an independent
+    recursive reference plus the within-tolerance guarantee."""
+    from wayproblems_spark.operators.geometry import simplify_ways
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_id") % 11 == 0).select(
+        F.col("event_id").alias("way_id"),
+        (F.lit(-40.0) + (F.col("event_id") % 80000) / 1000.0).alias("lat0"),
+        (F.lit(-170.0) + ((F.col("event_id") * 13) % 340000) / 1000.0).alias("lon0"),
+        # amplitude cycles 0..10 half-millidegrees: ~0..550 m spikes
+        # (event_id is always ≡0 mod 11 here, so derive from the quotient)
+        (((F.col("event_id") / 11).cast("long") % 11) * 0.0005).alias("amp"),
+    )
+    geom = F.transform(
+        F.sequence(F.lit(0), F.lit(23)),
+        lambda i: F.struct(
+            (F.col("lon0") + i.cast("double") * 0.002).alias("lon"),
+            (F.col("lat0") + (i % 2).cast("double") * F.col("amp")).alias("lat"),
+        ),
+    )
+    ways = base.select("way_id", geom.alias("geom"))
+    out = simplify_ways(ways, tolerance_m=300.0)
+    return out.select(
+        "way_id",
+        F.lit(24).alias("n_in"),
+        F.size("geom").alias("n_out"),
+    )
+
+
 def q11_tile_counts_sql(spark, sf_dir):
     """G6 tile math oracle-checked: deterministic synthetic lat/lon derived
     from event_id, slippy tile assignment at z=11 via the production
@@ -2157,6 +2437,156 @@ def q41_bm25_sql(spark, sf_dir):
     return out.select("doc_id", F.round("score", 6).alias("score_r6"))
 
 
+def q42_chunking_sql(spark, sf_dir):
+    """Training-window chunking oracle: the production `chunk_documents`
+    (operators/chunking.py — tokenize once, sequence+slice windows, pure
+    codegen, zero Python/shuffle) at target=32 overlap=8 over the
+    documents table, vs a DuckDB list_slice recompute. Boundary math is
+    all-integer; chunk text compares by string equality."""
+    from wayproblems_spark.operators.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    out = chunk_documents(docs, target=32, overlap=8)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "chunk_text",
+    )
+
+
+def q43_packing_sql(spark, sf_dir):
+    """Sample-packing oracle: the production chunk_documents →
+    pack_sequences composition (operators/packing.py — sharded window
+    cumsum, budget split, straddling chunks emit one row per touched
+    sequence) at budget=64 over 8 shards, vs a DuckDB recompute of the
+    identical all-integer math. Locks the chunk→sequence mapping an LLM
+    trainer would consume."""
+    from wayproblems_spark.operators.chunking import chunk_documents
+    from wayproblems_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, target=32, overlap=8)
+    out = pack_sequences(chunks, budget=64, n_shards=8)
+    return out.select(
+        F.col("shard").cast("long").alias("shard"),
+        F.col("seq_id").cast("long").alias("seq_id"),
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("off_start").cast("long").alias("off_start"),
+        F.col("off_end").cast("long").alias("off_end"),
+        F.col("pos").cast("long").alias("pos"),
+    )
+
+
+def q44_pii_redact_sql(spark, sf_dir):
+    """PII-scrub oracle: the production `redact_pii` + `pii_counts`
+    (operators/privacy.py — fixed-order regexp_replace chain, pure JVM
+    codegen, zero shuffle) over documents text with a deterministic
+    doc_id-derived injection (email + IPv4 + long digit run appended to
+    every row), vs a DuckDB recompute of the identical chain. Patterns
+    are restricted to java.util.regex ∩ RE2-identical constructs, so the
+    scrubbed strings compare byte-for-byte."""
+    from wayproblems_spark.operators.privacy import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.org from 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0.7 ref 9"),
+        (F.col("doc_id") * 7919).cast("string"),
+    )
+    t = docs.select("doc_id", injected.alias("t"))
+    counts = pii_counts(F.col("t"))
+    return t.select(
+        "doc_id",
+        redact_pii(F.col("t")).alias("scrubbed"),
+        counts["n_email"].cast("long").alias("n_email"),
+        counts["n_ip"].cast("long").alias("n_ip"),
+        counts["n_num"].cast("long").alias("n_num"),
+    )
+
+
+def q45_repetition_sql(spark, sf_dir):
+    """Repetition-quality oracle: the production `repetition_stats`
+    (operators/quality.py — explode grams, one map-side-partial count
+    shuffle, min(struct(-cnt, gram)) deterministic top-gram witness)
+    over the documents table, vs a full DuckDB recompute. Fractions are
+    single BIGINT/BIGINT IEEE divisions — bit-identical cross-engine."""
+    from wayproblems_spark.operators.quality import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    out = repetition_stats(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "top_token",
+        "top_token_frac",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        "distinct_bigram_frac",
+        "top_bigram",
+        "top_bigram_frac",
+    )
+
+
+def q46_decontam_sql(spark, sf_dir):
+    """Decontamination oracle: the production `ngram_decontaminate`
+    (operators/decontam.py — benchmark grams distinct+broadcast, corpus
+    grams linear explode, equality join, per-doc rollup LEFT-joined back)
+    with benchmark = every 13th document at n=5, vs a DuckDB recompute
+    of the identical all-string gram math."""
+    from wayproblems_spark.operators.decontam import ngram_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 13 == 0)
+    out = ngram_decontaminate(docs, bench, n=5)
+    return out.select(
+        "doc_id",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.col("n_distinct_hit_grams").cast("long").alias(
+            "n_distinct_hit_grams"
+        ),
+        "contaminated",
+    )
+
+
+def q47_domain_stats_sql(spark, sf_dir):
+    """Domain-rollup oracle: deterministic doc_id-derived URL injection
+    (www/port/trailing-dot/two-level-suffix/IPv4/invalid classes all
+    exercised), then the production parse→normalize→registered-domain→
+    aggregate chain (operators/urls.py — pure JVM regex + array exprs),
+    vs an independent DuckDB recompute of the same contract."""
+    from wayproblems_spark.operators.urls import domain_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 6
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://www.alpha.example.com/"),
+                                F.col("source")))
+        .when(m == 1, F.concat(F.lit("https://shop.alpha.example.com/p/"),
+                               F.col("doc_id").cast("string")))
+        .when(m == 2, F.concat(F.lit("http://News.beta.co.uk:8080/"),
+                               F.col("doc_id").cast("string")))
+        .when(m == 3, F.lit("https://cdn.beta.co.uk./x"))
+        .when(m == 4, F.concat(F.lit("https://10."),
+                               (F.col("doc_id") % 200).cast("string"),
+                               F.lit(".0.9/raw")))
+        .otherwise(F.concat(F.lit("no scheme here "),
+                            F.col("doc_id").cast("string")))
+    )
+    injected = docs.select("doc_id", url.alias("url"), "text")
+    out = domain_stats(injected)
+    return out.select(
+        "domain",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_hosts").cast("long").alias("n_hosts"),
+    )
+
+
 def q37_pq_encode_sql(spark, sf_dir):
     """Product-quantization encode oracle: the PRODUCTION `build_pq_index`
     (operators/similarity.py — Arrow-batched per-subspace nearest-codeword
@@ -2241,6 +2671,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_spatial_range_join_sql": q39_spatial_range_join_sql,
         "q40_interval_join_sql": q40_interval_join_sql,
         "q41_bm25_sql": q41_bm25_sql,
+        "q42_chunking_sql": q42_chunking_sql,
+        "q43_packing_sql": q43_packing_sql,
+        "q44_pii_redact_sql": q44_pii_redact_sql,
+        "q45_repetition_sql": q45_repetition_sql,
+        "q46_decontam_sql": q46_decontam_sql,
+        "q47_domain_stats_sql": q47_domain_stats_sql,
         "r01_wayproblems_problems": r01_wayproblems_problems,
         "r02_wayproblems_stdout": r02_wayproblems_stdout,
         "r03_tile_counts": r03_tile_counts,
@@ -2259,6 +2695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r16_curate_corpus": r16_curate_corpus,
         "r17_pq_topk": r17_pq_topk,
         "r18_ivfpq_topk": r18_ivfpq_topk,
+        "r19_simplify_ways": r19_simplify_ways,
     }
 
 
