@@ -726,6 +726,99 @@ ORACLE = {
                CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
         FROM d GROUP BY domain
     """,
+    # Per-key cap — the md5-ranked row_number cap; 8-hex-char md5 prefix
+    # orders identically lexicographically (fixed width) and numerically,
+    # so the oracle ranks by the hex string while Spark ranks by the
+    # conv()'d integer — same permutation, same survivors.
+    "q48_cap_per_key_sql": """
+        WITH r AS (
+          SELECT doc_id, lang, source,
+                 row_number() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY substr(md5('q48' || CAST(doc_id AS VARCHAR)),
+                                   1, 8),
+                            doc_id) AS rk
+          FROM documents)
+        SELECT doc_id, lang, source FROM r WHERE rk <= 7
+    """,
+    # DSIR importance weights — target LM = every 17th doc; ln() only on
+    # exact integers (same libm), per-term products summed through
+    # decimal(38,12) (the q41 trick) so accumulation order vanishes;
+    # ROUND 6 both sides. Left-assoc float composition matches Spark's.
+    "q49_dsir_weights_sql": """
+        WITH t AS (
+          SELECT doc_id, list_filter(
+                   string_split_regex(
+                     regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                     '\\s+'),
+                   x -> x <> '') AS toks
+          FROM documents),
+        cterm AS (
+          SELECT term, count(*) AS cc
+          FROM (SELECT unnest(toks) AS term FROM t) GROUP BY term),
+        tterm AS (
+          SELECT term, count(*) AS tc
+          FROM (SELECT unnest(toks) AS term FROM t WHERE doc_id % 17 = 0)
+          GROUP BY term),
+        stats AS (
+          SELECT term, COALESCE(cc, 0) AS cc, COALESCE(tc, 0) AS tc
+          FROM cterm FULL JOIN tterm USING (term)),
+        tot AS (
+          SELECT CAST(sum(cc) AS BIGINT) AS c, CAST(sum(tc) AS BIGINT) AS t,
+                 CAST(count(*) AS BIGINT) AS v
+          FROM stats),
+        dt AS (
+          SELECT doc_id, term, count(*) AS cnt
+          FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY ALL)
+        SELECT dt.doc_id,
+               ROUND(CAST(SUM(CAST(
+                 cnt * (ln(tc + 1) - ln(CAST(tot.t + tot.v AS DOUBLE))
+                        - ln(cc + 1) + ln(CAST(tot.c + tot.v AS DOUBLE)))
+                 AS DECIMAL(38,12))) AS DOUBLE), 6) AS weight
+        FROM dt JOIN stats USING (term) CROSS JOIN tot
+        GROUP BY dt.doc_id
+    """,
+    # Paragraph dedup — deterministic boilerplate injection (a per-residue
+    # shared banner + a universal footer around each doc's own text), then
+    # the first-(doc_id,pos)-occurrence rule rebuilt relationally: min
+    # doc_id per paragraph, min pos within it, survivors re-joined in order.
+    "q50_para_dedup_sql": """
+        WITH inj AS (
+          SELECT doc_id,
+                 text || chr(10) || 'shared banner '
+                      || CAST(doc_id % 7 AS VARCHAR)
+                      || chr(10) || 'footer' AS t
+          FROM documents),
+        sp AS (SELECT doc_id, string_split(t, chr(10)) AS parts FROM inj),
+        p AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos, parts[i+1] AS para
+          FROM sp, unnest(range(len(parts))) AS r(i)
+          WHERE parts[i+1] <> ''),
+        f1 AS (SELECT para, min(doc_id) AS mid FROM p GROUP BY para),
+        f2 AS (
+          SELECT p.para, p.doc_id AS mid, min(p.pos) AS mpos
+          FROM p JOIN f1 ON p.para = f1.para AND p.doc_id = f1.mid
+          GROUP BY p.para, p.doc_id),
+        kept AS (
+          SELECT p.doc_id, p.pos, p.para
+          FROM p JOIN f2 ON p.para = f2.para AND p.doc_id = f2.mid
+                        AND p.pos = f2.mpos),
+        rebuilt AS (
+          SELECT doc_id,
+                 string_agg(para, chr(10) ORDER BY pos) AS text,
+                 CAST(count(*) AS BIGINT) AS n_kept
+          FROM kept GROUP BY doc_id),
+        totals AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras
+          FROM p GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(r.text, '') AS text,
+               COALESCE(t.n_paras, 0) AS n_paras,
+               COALESCE(r.n_kept, 0) AS n_kept
+        FROM documents d
+        LEFT JOIN totals t ON d.doc_id = t.doc_id
+        LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    """,
     # PQ encode — per-subspace nearest-codeword argmin recomputed with
     # nested list_transform; list_indexof(d, list_min(d)) is first-match,
     # the numpy argmin tie rule. (x)*(x) both sides, never pow().
@@ -1501,14 +1594,16 @@ def r15_embedding_near_dups(spark, sf_dir):
 
 def r16_curate_corpus(spark, sf_dir):
     """The corpus-curation pipeline capstone (jobs/curate_corpus.py) run
-    end-to-end over the fixture documents table: quality gate [q26] →
-    md5-stratified sampling [q29] → MinHash near-dup pairs [q21] →
-    max-quality keep decision [q30] — returns the (doc_id, keeper_id,
-    kept) decision audit. Rows-only by design: the composed funnel's
-    individual stages each carry their own hash-exact oracle row; this
-    entry exercises the COMPOSITION (the production job path) per round.
-    Deterministic end to end (fixed hashes, md5 keys, argmax ties on
-    id), so the rows-only count is stable."""
+    end-to-end over the fixture documents table with EVERY stage on:
+    PII scrub [q44] → quality gate [q26] → repetition filter [q45] →
+    md5-stratified sampling [q29] → per-source cap [q48] → benchmark
+    decontamination [q46] → MinHash near-dup pairs [q21] → max-quality
+    keep decision [q30] — returns the (doc_id, keeper_id, kept) decision
+    audit. Rows-only by design: the composed funnel's individual stages
+    each carry their own hash-exact oracle row; this entry exercises the
+    COMPOSITION (the production job path) per round. Deterministic end
+    to end (fixed hashes, md5 keys, argmax ties on id), so the rows-only
+    count is stable."""
     import os
     import sys
 
@@ -1517,9 +1612,13 @@ def r16_curate_corpus(spark, sf_dir):
     )
     from curate_corpus import curate
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
     curated, decisions, vocab, stats, (staged, tp) = curate(
-        spark, docs, min_quality=0.3, jaccard=0.8, vocab_k=25
+        spark, docs, min_quality=0.3, jaccard=0.8, vocab_k=25,
+        redact=True, repetition=True, source_cap=40,
+        benchmark=docs.filter(F.col("doc_id") % 13 == 0), decontam_n=5,
     )
     # materialize the (small) audit eagerly, then release curate()'s
     # persisted frames — the 49-query driver harness shares one session,
@@ -2587,6 +2686,59 @@ def q47_domain_stats_sql(spark, sf_dir):
     )
 
 
+def q48_cap_per_key_sql(spark, sf_dir):
+    """Per-key cap oracle: the production `cap_per_key` (sampling.py —
+    one key shuffle + per-partition row_number over the frozen md5 draw,
+    id tie-break) capping documents at 7 per (lang, source), vs a DuckDB
+    row_number recompute ranking by the hex md5 prefix (identical order
+    to Spark's conv()'d integer: fixed-width hex is order-isomorphic)."""
+    from wayproblems_spark.operators.sampling import cap_per_key
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return cap_per_key(docs, ["lang", "source"], 7, salt="q48")
+
+
+def q49_dsir_weights_sql(spark, sf_dir):
+    """DSIR importance-weight oracle: the production `dsir_weights`
+    (operators/importance.py — one corpus term-count scan, broadcast
+    vocab-stat join, three plan-literal totals, decimal(38,12) per-term
+    accumulation) with target LM = every 17th document, vs a DuckDB
+    recompute with the identical float composition."""
+    from wayproblems_spark.operators.importance import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 17 == 0)
+    return dsir_weights(docs, target)
+
+
+def q50_para_dedup_sql(spark, sf_dir):
+    """Paragraph-dedup oracle: the production `dedup_paragraphs`
+    (operators/paradedup.py — posexplode, ONE paragraph-keyed
+    min(struct) shuffle with map-side partials, join-back, doc rollup)
+    over documents with injected boilerplate (per-residue banner +
+    universal footer), vs a DuckDB recompute of the first-occurrence
+    rule. All-string equality; no floats anywhere."""
+    from wayproblems_spark.operators.paradedup import dedup_paragraphs
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nshared banner "),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("\nfooter"),
+        ).alias("text"),
+    )
+    out = dedup_paragraphs(injected)
+    return out.select(
+        "doc_id",
+        "text",
+        F.col("n_paras").cast("long").alias("n_paras"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+    )
+
+
 def q37_pq_encode_sql(spark, sf_dir):
     """Product-quantization encode oracle: the PRODUCTION `build_pq_index`
     (operators/similarity.py — Arrow-batched per-subspace nearest-codeword
@@ -2677,6 +2829,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_repetition_sql": q45_repetition_sql,
         "q46_decontam_sql": q46_decontam_sql,
         "q47_domain_stats_sql": q47_domain_stats_sql,
+        "q48_cap_per_key_sql": q48_cap_per_key_sql,
+        "q49_dsir_weights_sql": q49_dsir_weights_sql,
+        "q50_para_dedup_sql": q50_para_dedup_sql,
         "r01_wayproblems_problems": r01_wayproblems_problems,
         "r02_wayproblems_stdout": r02_wayproblems_stdout,
         "r03_tile_counts": r03_tile_counts,

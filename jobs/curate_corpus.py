@@ -15,21 +15,31 @@ standard training-data curation artifacts:
   out/vocab/       top-k vocabulary of the curated corpus
   out/stats.json   stage-by-stage row counts (the funnel)
 
-Stages (each a documented operator with its own oracle/test coverage):
+Stages (each a documented operator with its own oracle/test coverage;
+0/1b/2b/2c are opt-in flags, off by default so existing funnels are
+unchanged):
+  0. PII scrub      — `redact_pii` (privacy.py), --redact [q44 oracle]
   1. quality gate   — `document_stats` (textstats.py), keep
                       quality >= --min-quality          [q26 oracle]
+  1b. repetition    — `repetition_filter` (quality.py), --repetition
+                      drops loop/spam-shaped docs        [q45 oracle]
   2. sampling       — `stratified_sample` (sampling.py), per-lang rates,
                       md5-keyed so re-runs/appends agree [q29 oracle]
+  2b. source cap    — `cap_per_key` (sampling.py), --source-cap K per
+                      `source`, frozen-md5 survivor draw [q48 oracle]
+  2c. decontam      — `ngram_decontaminate` (decontam.py), --benchmark
+                      path, drops eval-overlapping docs  [q46 oracle]
   3. near-dup dedup — `minhash_lsh_pairs` (dedup.py)     [q21 oracle]
   4. keep decision  — `canonical_docs` (components.py): per-group
                       max-quality keeper                  [q30 oracle]
   5. vocabulary     — `vocab_topk` (textstats.py)         [q32 oracle]
 
-Scale shape: stages 1–2 are codegen filters on the scan; stage 3 is the
-banded LSH (id-only band shuffle, capped buckets); stage 4 is hash-min
-components over pairs (≪ docs) + one group-sized join; stage 5 is a
-map-side-combined count + per-task top-k heap. Nothing collects to the
-driver except the funnel counts.
+Scale shape: stages 0–2 are codegen filters/rewrites on the scan (1b
+adds one gram-count shuffle, 2b one key shuffle, 2c one broadcast-gram
+join + rollup); stage 3 is the banded LSH (id-only band shuffle, capped
+buckets); stage 4 is hash-min components over pairs (≪ docs) + one
+group-sized join; stage 5 is a map-side-combined count + per-task top-k
+heap. Nothing collects to the driver except the funnel counts.
 """
 
 from __future__ import annotations
@@ -61,6 +71,11 @@ def curate(
     jaccard: float = 0.8,
     vocab_k: int = 1000,
     salt: str = "curate",
+    redact: bool = False,
+    repetition: bool = False,
+    source_cap: int = 0,
+    benchmark=None,
+    decontam_n: int = 13,
 ):
     """Run the funnel; returns the 5-tuple
     ``(curated_df, decisions_df, vocab_df, stats, (staged, tracked))``.
@@ -76,22 +91,55 @@ def curate(
 
     from wayproblems_spark.operators.components import canonical_docs
     from wayproblems_spark.operators.dedup import minhash_lsh_pairs
-    from wayproblems_spark.operators.sampling import stratified_sample
+    from wayproblems_spark.operators.sampling import cap_per_key, stratified_sample
     from wayproblems_spark.operators.textstats import document_stats, vocab_topk
 
     stats = {"input": docs.count()}
 
+    if redact:
+        from wayproblems_spark.operators.privacy import redact_pii
+
+        docs = docs.withColumn("text", redact_pii(F.col("text")))
+
     staged = document_stats(docs).filter(F.col("quality") >= min_quality)
     stats["after_quality"] = staged.count()
+
+    if repetition:
+        from wayproblems_spark.operators.quality import repetition_filter
+
+        keep = repetition_filter(staged).filter(F.col("keep")).select("doc_id")
+        staged = staged.join(keep, "doc_id")
+        stats["after_repetition"] = staged.count()
 
     staged = stratified_sample(
         staged, "doc_id", "lang", lang_rates or {}, default_rate=sample_rate,
         salt=salt,
     )
+    # optional per-stage funnel counts are extra scans of a
+    # filter-pipeline frame — cheap telemetry, skipped when the stage is
+    # off so the default funnel's job count is unchanged
+    if source_cap or benchmark is not None:
+        stats["after_sampling"] = staged.count()
+
+    if source_cap:
+        staged = cap_per_key(staged, ["source"], source_cap, salt=salt)
+        if benchmark is not None:
+            stats["after_cap"] = staged.count()
+
+    if benchmark is not None:
+        from wayproblems_spark.operators.decontam import ngram_decontaminate
+
+        verdict = ngram_decontaminate(staged, benchmark, n=decontam_n)
+        clean = verdict.filter(~F.col("contaminated")).select("doc_id")
+        staged = staged.join(clean, "doc_id")
+
     # the funnel's survivors feed dedup twice (pairs + decision join) and
     # the final write — persist once; caller unpersists via curated_df
     staged = staged.persist()
-    stats["after_sampling"] = staged.count()
+    if source_cap or benchmark is not None:
+        stats["after_filters"] = staged.count()
+    else:
+        stats["after_sampling"] = staged.count()
 
     tp: list = []
     pairs = minhash_lsh_pairs(
@@ -114,6 +162,15 @@ def main(argv=None) -> int:
     ap.add_argument("--lang-rates", default="")
     ap.add_argument("--jaccard", type=float, default=0.8)
     ap.add_argument("--vocab-k", type=int, default=1000)
+    ap.add_argument("--redact", action="store_true",
+                    help="PII-scrub text before the quality gate")
+    ap.add_argument("--repetition", action="store_true",
+                    help="drop loop/spam-shaped docs (repetition_filter)")
+    ap.add_argument("--source-cap", type=int, default=0,
+                    help="keep at most K docs per source (0 = off)")
+    ap.add_argument("--benchmark", default="",
+                    help="parquet of eval texts; overlapping docs dropped")
+    ap.add_argument("--decontam-n", type=int, default=13)
     ap.add_argument("--cpus", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -132,6 +189,11 @@ def main(argv=None) -> int:
         lang_rates=parse_rates(args.lang_rates),
         jaccard=args.jaccard,
         vocab_k=args.vocab_k,
+        redact=args.redact,
+        repetition=args.repetition,
+        source_cap=args.source_cap,
+        benchmark=spark.read.parquet(args.benchmark) if args.benchmark else None,
+        decontam_n=args.decontam_n,
     )
     curated.write.mode("overwrite").parquet(os.path.join(args.out, "curated"))
     decisions.write.mode("overwrite").parquet(os.path.join(args.out, "decisions"))

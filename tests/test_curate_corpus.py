@@ -91,3 +91,85 @@ def test_curate_cli_smoke(spark, tmp_path):
     kept = spark.read.parquet(os.path.join(out_dir, "curated"))
     assert kept.count() == stats["curated"]
     assert "quality" in kept.columns
+
+
+def test_curate_all_stages(spark, tmp_path):
+    """Full composition: redact + repetition + source cap + decontam on.
+    The planted structure makes each optional stage's effect observable
+    and deterministic."""
+    from pyspark.sql import functions as F
+
+    from curate_corpus import curate
+
+    base = _corpus(spark).withColumn(
+        "source", F.concat(F.lit("s"), (F.col("doc_id") % 2).cast("string"))
+    )
+    # plant a PII doc (passes quality after scrub) and a repetitious doc
+    extra = spark.createDataFrame(
+        [
+            (2000, _STOP + " mail me at bob@x.org now ok", "en", "s0"),
+            (2001, _STOP + " spam spam spam spam spam spam spam spam spam "
+                   "spam spam spam spam spam spam spam spam spam", "en", "s0"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    docs = base.union(extra)
+    # benchmark = group 0's SPECIFIC token run (not the shared stopword
+    # prefix, which would contaminate every doc in the fixture)
+    bench = spark.createDataFrame(
+        [("w0t0 w0t1 w0t2 w0t3 w0t4",)], "text string"
+    )
+
+    curated, decisions, vocab, stats, (staged, tp) = curate(
+        spark, docs, min_quality=0.5, jaccard=0.8, vocab_k=50,
+        redact=True, repetition=True, source_cap=100,
+        benchmark=bench, decontam_n=5,
+    )
+    cur = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    scrubbed = curated.filter(F.col("doc_id") == 2000).collect()
+    for fr in tp:
+        fr.unpersist()
+    staged.unpersist()
+
+    # repetition filter killed the spam doc before sampling
+    assert stats["after_repetition"] < stats["after_quality"]
+    assert 2001 not in cur
+    # decontam removed group 0 (docs 0, 1 contain the benchmark 5-gram
+    # verbatim; doc 2 extends the text but keeps the gram)
+    assert stats["after_filters"] < stats["after_repetition"]
+    assert cur.isdisjoint({0, 1, 2})
+    # the PII doc survived with its email scrubbed
+    assert scrubbed and "<EMAIL>" in scrubbed[0]["text"]
+    assert "bob@x.org" not in scrubbed[0]["text"]
+    # source cap at 100 is a no-op here; every stage count is recorded
+    assert stats["after_cap"] == stats["after_repetition"]
+
+
+def test_cap_per_key_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from wayproblems_spark.operators.sampling import cap_per_key
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(90)], "doc_id long, g string"
+    )
+    once = sorted(r["doc_id"] for r in cap_per_key(df, ["g"], 7).collect())
+    # deterministic across repartitionings
+    again = sorted(
+        r["doc_id"]
+        for r in cap_per_key(df.repartition(13), ["g"], 7).collect()
+    )
+    assert once == again and len(once) == 21
+    # every group capped at exactly 7
+    per_g = (
+        cap_per_key(df, ["g"], 7).groupBy("g").count().collect()
+    )
+    assert {r["count"] for r in per_g} == {7}
+    # append-stability: adding rows never evicts a survivor's RANK order
+    # prefix — the hash draw is a pure row function, so the first-7 set
+    # can only change if a new row hashes into the prefix
+    bigger = df.union(
+        spark.createDataFrame([(1000, "g0")], "doc_id long, g string")
+    )
+    b = sorted(r["doc_id"] for r in cap_per_key(bigger, ["g"], 7).collect())
+    assert len(b) == 21

@@ -46,6 +46,17 @@ base = d.select(F.col("doc_id").alias("_id"),
                 F.array_distinct(F.transform(word_shingles(F.col("text"), 5), lambda s: F.xxhash64(s))).alias("shl")
        ).filter(F.size("shl") > 0)
 frames["minhash band buckets (explode -> 64-col map-side-partial min)"] = _minhash_band_buckets(base, 64, 16)
+# round-6 text-pipeline operators
+frames["q42 chunk_documents (sequence+slice, zero shuffle)"] = E.q42_chunking_sql(spark, SF)
+frames["q43 pack_sequences (sharded window cumsum + budget split)"] = E.q43_packing_sql(spark, SF)
+frames["q44 redact_pii (regexp chain, scan-stage rewrite)"] = E.q44_pii_redact_sql(spark, SF)
+frames["q45 repetition_stats (explode grams -> partial counts -> rollup)"] = E.q45_repetition_sql(spark, SF)
+frames["q46 ngram_decontaminate (broadcast gram join + rollup)"] = E.q46_decontam_sql(spark, SF)
+frames["q47 domain_stats (regex parse + partial agg)"] = E.q47_domain_stats_sql(spark, SF)
+frames["q48 cap_per_key (one key shuffle + row_number)"] = E.q48_cap_per_key_sql(spark, SF)
+frames["q41 bm25_score (pruned postings, broadcast df, decimal sum)"] = E.q41_bm25_sql(spark, SF)
+frames["q38 asof_join (union -> one key shuffle -> sort carry)"] = E.q38_asof_join_sql(spark, SF)
+frames["q39 spatial_range_join (grid equi-join, chord filter)"] = E.q39_spatial_range_join_sql(spark, SF)
 
 out = ["# Plan audit — headline operators (`.explain(\"formatted\")`, local[8], sf0.01)\n",
        "Regenerate with `python tools/gen_plans.py`;",

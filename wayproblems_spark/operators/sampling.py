@@ -63,3 +63,39 @@ def stratified_sample(
             F.col(stratum_col) == stratum, F.lit(int(rate * _DENOM))
         ).otherwise(expr)
     return df.filter(_hash_u32(F.col(key_col), salt) < expr)
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Keep at most ``k`` rows per key group (the per-domain / per-source
+    cap every web corpus applies so one crawl host can't dominate the
+    training mix). WHICH rows survive is deterministic and
+    repartition-stable: rows rank by (md5-hash(salt||id), id) within
+    their key — i.e. a uniform random-but-frozen draw, with the id as
+    total tie-break — so re-runs and engine ports agree exactly.
+
+    Scale shape: one shuffle on the key columns + a per-partition
+    row_number (no global sort). A skewed key (one domain = 10% of the
+    corpus) makes one partition rank ~corpus/10 rows — ranking is O(n
+    log n) per key and streams; if even that is too hot, pre-filter with
+    ``hash_sample`` at ~10·k/|key| to shrink the skewed groups first
+    (two-pass cap, same final distribution guarantees).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(_hash_u32(F.col(id_col), salt), F.col(id_col))
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
