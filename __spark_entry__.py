@@ -819,6 +819,112 @@ ORACLE = {
         LEFT JOIN totals t ON d.doc_id = t.doc_id
         LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
     """,
+    # Unigram LM perplexity — reference slice = every 13th doc; add-one
+    # smoothing keeps every ln() argument an exact integer; per-doc sums
+    # through decimal(38,12); entropy ROUND 6 and ppl = ROUND(exp, 6)
+    # composed identically both sides. Empty docs: n_tokens 0, NULL ppl.
+    "q51_unigram_ppl_sql": """
+        WITH t AS (
+          SELECT doc_id, list_filter(
+                   string_split_regex(
+                     regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                     '\\s+'),
+                   x -> x <> '') AS toks
+          FROM documents),
+        cnt AS (
+          SELECT term, count(*) AS c
+          FROM (SELECT unnest(toks) AS term FROM t WHERE doc_id % 13 = 0)
+          GROUP BY term),
+        tot AS (
+          SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS ct,
+                 CAST(count(*) AS BIGINT) AS v
+          FROM cnt),
+        dt AS (
+          SELECT doc_id, term, count(*) AS cnt
+          FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY ALL),
+        sc AS (
+          SELECT dt.doc_id,
+                 CAST(SUM(dt.cnt) AS BIGINT) AS n_tokens,
+                 SUM(CAST(dt.cnt * (CASE WHEN cnt.c IS NULL
+                       THEN -ln(CAST(tot.ct + tot.v AS DOUBLE))
+                       ELSE ln(cnt.c + 1) - ln(CAST(tot.ct + tot.v AS DOUBLE))
+                     END) AS DECIMAL(38,12))) AS s
+          FROM dt LEFT JOIN cnt USING (term) CROSS JOIN tot
+          GROUP BY dt.doc_id),
+        e AS (
+          SELECT doc_id, n_tokens,
+                 ROUND(-CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+                   AS entropy
+          FROM sc)
+        SELECT d.doc_id,
+               COALESCE(e.n_tokens, 0) AS n_tokens,
+               e.entropy,
+               ROUND(exp(e.entropy), 6) AS ppl
+        FROM documents d LEFT JOIN e USING (doc_id)
+    """,
+    # Interpolated bigram LM — lam = 0.5 (exact with 1-lam in IEEE);
+    # float composition per pair identical both sides:
+    # ln(0.5*(c12+1)/(ctx1+V) + 0.5*(c2+1)/(C+V)). Docs with < 2 tokens
+    # score NULL (never reach the pair explode).
+    "q52_bigram_ppl_sql": """
+        WITH t AS (
+          SELECT doc_id, list_filter(
+                   string_split_regex(
+                     regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                     '\\s+'),
+                   x -> x <> '') AS toks
+          FROM documents),
+        rp AS (
+          SELECT toks[i+1] AS w1, toks[i+2] AS w2
+          FROM (SELECT toks FROM t WHERE doc_id % 13 = 0
+                AND len(toks) >= 2),
+               unnest(range(len(toks)-1)) AS r(i)),
+        bi AS (SELECT w1, w2, count(*) AS c12 FROM rp GROUP BY ALL),
+        uni AS (
+          SELECT term, count(*) AS c
+          FROM (SELECT unnest(toks) AS term FROM t WHERE doc_id % 13 = 0)
+          GROUP BY term),
+        cx AS (
+          SELECT w1 AS term, CAST(sum(c12) AS BIGINT) AS ctx
+          FROM bi GROUP BY w1),
+        tot AS (
+          SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS ct,
+                 CAST(count(*) AS BIGINT) AS v
+          FROM uni),
+        dpc AS (
+          SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2, count(*) AS cnt
+          FROM (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+               unnest(range(len(toks)-1)) AS r(i)
+          GROUP BY ALL),
+        j AS (
+          SELECT dpc.doc_id, dpc.cnt,
+                 COALESCE(bi.c12, 0) AS c12,
+                 COALESCE(cx.ctx, 0) AS ctx1,
+                 COALESCE(u2.c, 0) AS c2
+          FROM dpc
+          LEFT JOIN bi ON dpc.w1 = bi.w1 AND dpc.w2 = bi.w2
+          LEFT JOIN cx ON dpc.w1 = cx.term
+          LEFT JOIN uni u2 ON dpc.w2 = u2.term),
+        sc AS (
+          SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                 SUM(CAST(cnt * ln(
+                     0.5 * (CAST(c12 + 1 AS DOUBLE)
+                            / CAST(ctx1 + tot.v AS DOUBLE))
+                   + 0.5 * (CAST(c2 + 1 AS DOUBLE)
+                            / CAST(tot.ct + tot.v AS DOUBLE))
+                 ) AS DECIMAL(38,12))) AS s
+          FROM j CROSS JOIN tot GROUP BY doc_id),
+        e AS (
+          SELECT doc_id, n_tokens,
+                 ROUND(-CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+                   AS entropy
+          FROM sc)
+        SELECT d.doc_id,
+               COALESCE(e.n_tokens, 0) AS n_tokens,
+               e.entropy,
+               ROUND(exp(e.entropy), 6) AS ppl
+        FROM documents d LEFT JOIN e USING (doc_id)
+    """,
     # PQ encode — per-subspace nearest-codeword argmin recomputed with
     # nested list_transform; list_indexof(d, list_min(d)) is first-match,
     # the numpy argmin tie rule. (x)*(x) both sides, never pow().
@@ -2767,6 +2873,40 @@ def q37_pq_encode_sql(spark, sf_dir):
     )
 
 
+def q51_unigram_ppl_sql(spark, sf_dir):
+    """Unigram LM perplexity oracle: the production `train_unigram_lm` +
+    `perplexity` (operators/lm.py — one reference-slice term count,
+    broadcast LM join, decimal(38,12) per-doc accumulation, entropy
+    ROUND 6, ppl = ROUND(exp(entropy), 6)) with the reference slice =
+    every 13th document, vs a DuckDB recompute with the identical
+    add-one-smoothed float composition (ln only on exact integers)."""
+    from wayproblems_spark.operators.lm import perplexity, train_unigram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    lm, stats = train_unigram_lm(docs.filter(F.col("doc_id") % 13 == 0))
+    return perplexity(docs, lm, stats)
+
+
+def q52_bigram_ppl_sql(spark, sf_dir):
+    """Interpolated bigram LM perplexity oracle: the production
+    `interpolated_bigram_logprob` + `bigram_perplexity` (operators/lm.py
+    — zip_with adjacent pairs, three broadcast count-table joins,
+    decimal accumulation). lam = 0.5 so both lam and 1-lam are exact
+    IEEE doubles (0.7 would make 1-lam = 0.30000000000000004 in Python
+    but 0.3 in SQL). Every ln() argument is composed from exact-integer
+    doubles identically on both engines."""
+    from wayproblems_spark.operators.lm import (
+        bigram_perplexity,
+        interpolated_bigram_logprob,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bi, uni, stats = interpolated_bigram_logprob(
+        docs.filter(F.col("doc_id") % 13 == 0), lam=0.5
+    )
+    return bigram_perplexity(docs, bi, uni, stats)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full wayproblems pipeline on the deterministic fixture
     corpus (pages → extract → geoparse → resolve → 230-site rule engine)."""
@@ -2832,6 +2972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_cap_per_key_sql": q48_cap_per_key_sql,
         "q49_dsir_weights_sql": q49_dsir_weights_sql,
         "q50_para_dedup_sql": q50_para_dedup_sql,
+        "q51_unigram_ppl_sql": q51_unigram_ppl_sql,
+        "q52_bigram_ppl_sql": q52_bigram_ppl_sql,
         "r01_wayproblems_problems": r01_wayproblems_problems,
         "r02_wayproblems_stdout": r02_wayproblems_stdout,
         "r03_tile_counts": r03_tile_counts,
