@@ -925,6 +925,59 @@ ORACLE = {
                ROUND(exp(e.entropy), 6) AS ppl
         FROM documents d LEFT JOIN e USING (doc_id)
     """,
+    # Source mixing — exact-binary weights (0.5/0.25/0.125/0.125 sum to
+    # 1.0 exactly, so normalization is the identity); every rate composed
+    # (w*N)/T with N = min(3.0*T/w), one IEEE op per step; md5-u32 draw
+    # parsed numerically via CAST('0x'||prefix AS BIGINT). All literals
+    # CAST AS DOUBLE (bare 0.5 is DECIMAL in DuckDB).
+    "q53_mix_sources_sql": """
+        WITH w(source, w) AS (
+          VALUES ('src0', CAST(0.5 AS DOUBLE)),
+                 ('src1', CAST(0.25 AS DOUBLE)),
+                 ('src2', CAST(0.125 AS DOUBLE)),
+                 ('src3', CAST(0.125 AS DOUBLE))),
+        t AS (
+          SELECT doc_id, source, len(list_filter(
+                   string_split_regex(
+                     regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                     '\\s+'),
+                   x -> x <> '')) AS ntok
+          FROM documents),
+        tot AS (
+          SELECT source, CAST(sum(ntok) AS BIGINT) AS tt
+          FROM t JOIN w USING (source) GROUP BY source),
+        caps AS (
+          SELECT min((CAST(3.0 AS DOUBLE) * tt) / w.w) AS n
+          FROM tot JOIN w USING (source)),
+        rates AS (
+          SELECT w.source, (w.w * caps.n) / tt AS rate
+          FROM tot JOIN w USING (source) CROSS JOIN caps),
+        thr AS (
+          SELECT source,
+                 CAST(trunc(rate) AS BIGINT) AS nf,
+                 CAST(trunc((rate - trunc(rate))
+                      * CAST(4294967296.0 AS DOUBLE)) AS BIGINT) AS th
+          FROM rates),
+        nc AS (
+          SELECT d.doc_id, d.source,
+                 thr.nf + CASE WHEN CAST(concat('0x',
+                     substr(md5('q53' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) < thr.th THEN 1 ELSE 0 END AS n_copies
+          FROM documents d JOIN thr USING (source))
+        SELECT doc_id, source, CAST(i AS BIGINT) AS epoch
+        FROM nc, unnest(range(n_copies)) AS r(i)
+        WHERE n_copies > 0
+    """,
+    # Global shuffle rank — DuckDB's one-window row_number over the full
+    # (md5-prefix, id) order vs Spark's bucket-offset distributed rank;
+    # a MATCH proves the prefix-bucket decomposition ≡ the global sort.
+    "q54_shuffle_rank_sql": """
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                 ORDER BY substr(md5('q54' || CAST(doc_id AS VARCHAR)), 1, 8),
+                          doc_id) - 1 AS BIGINT) AS shuffle_rank
+        FROM documents
+    """,
     # PQ encode — per-subspace nearest-codeword argmin recomputed with
     # nested list_transform; list_indexof(d, list_min(d)) is first-match,
     # the numpy argmin tie rule. (x)*(x) both sides, never pow().
@@ -2873,6 +2926,40 @@ def q37_pq_encode_sql(spark, sf_dir):
     )
 
 
+def r20_resample_ways(spark, sf_dir):
+    """Fixed-spacing polyline resampling over r19's deterministic zigzag
+    ways (map-matching prep). Rows-only by design (per-feature
+    arc-parameterized slerp has no SQL analog); the correctness gate is
+    tests/test_resample.py — pure-Python slerp reference + equator
+    closed form + exact-spacing property."""
+    from wayproblems_spark.operators.geometry import resample_ways
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_id") % 11 == 0).select(
+        F.col("event_id").alias("way_id"),
+        (F.lit(-40.0) + (F.col("event_id") % 80000) / 1000.0).alias("lat0"),
+        (F.lit(-170.0) + ((F.col("event_id") * 13) % 340000) / 1000.0).alias(
+            "lon0"
+        ),
+        (((F.col("event_id") / 11).cast("long") % 11) * 0.0005).alias("amp"),
+    )
+    geom = F.transform(
+        F.sequence(F.lit(0), F.lit(23)),
+        lambda i: F.struct(
+            (F.col("lon0") + i.cast("double") * 0.002).alias("lon"),
+            (F.col("lat0") + (i % 2).cast("double") * F.col("amp")).alias(
+                "lat"
+            ),
+        ),
+    )
+    out = resample_ways(base.select("way_id", geom.alias("geom")), 500.0)
+    return out.groupBy("way_id").agg(
+        F.count("*").alias("n_samples"),
+        F.round(F.min("lon"), 6).alias("lon_min"),
+        F.round(F.max("lon"), 6).alias("lon_max"),
+    )
+
+
 def q51_unigram_ppl_sql(spark, sf_dir):
     """Unigram LM perplexity oracle: the production `train_unigram_lm` +
     `perplexity` (operators/lm.py — one reference-slice term count,
@@ -2905,6 +2992,36 @@ def q52_bigram_ppl_sql(spark, sf_dir):
         docs.filter(F.col("doc_id") % 13 == 0), lam=0.5
     )
     return bigram_perplexity(docs, bi, uni, stats)
+
+
+def q53_mix_sources_sql(spark, sf_dir):
+    """Source-mixing oracle: the production `mix_sources`
+    (operators/mixing.py — one per-source token-total aggregation, rates
+    folded as plan literals, codegen CASE + explode, frozen md5 epoch
+    draw) with exact-binary weights and max_epochs=3, vs a DuckDB
+    recompute of the identical (w*N)/T float composition and draw."""
+    from wayproblems_spark.operators.mixing import mix_sources
+
+    docs = _t(spark, sf_dir, "documents")
+    mixed, _ = mix_sources(
+        docs,
+        {"src0": 0.5, "src1": 0.25, "src2": 0.125, "src3": 0.125},
+        max_epochs=3.0,
+        salt="q53",
+    )
+    return mixed.select("doc_id", "source", "epoch")
+
+
+def q54_shuffle_rank_sql(spark, sf_dir):
+    """Global-shuffle-rank oracle: the production `shuffle_corpus`
+    (operators/ordering.py — md5-prefix buckets, 256-row offset
+    round-trip, per-bucket window; NO single-partition stage) vs DuckDB
+    computing the same total order with one global row_number window.
+    Integer output — no float surface at all."""
+    from wayproblems_spark.operators.ordering import shuffle_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_corpus(docs, salt="q54")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2974,6 +3091,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_para_dedup_sql": q50_para_dedup_sql,
         "q51_unigram_ppl_sql": q51_unigram_ppl_sql,
         "q52_bigram_ppl_sql": q52_bigram_ppl_sql,
+        "q53_mix_sources_sql": q53_mix_sources_sql,
+        "q54_shuffle_rank_sql": q54_shuffle_rank_sql,
         "r01_wayproblems_problems": r01_wayproblems_problems,
         "r02_wayproblems_stdout": r02_wayproblems_stdout,
         "r03_tile_counts": r03_tile_counts,
@@ -2993,6 +3112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r17_pq_topk": r17_pq_topk,
         "r18_ivfpq_topk": r18_ivfpq_topk,
         "r19_simplify_ways": r19_simplify_ways,
+        "r20_resample_ways": r20_resample_ways,
     }
 
 

@@ -64,7 +64,12 @@ def main(argv: list[str]) -> int:
         print(f"need exactly 2 levels, got {sorted(runs)}", file=sys.stderr)
         return 1
     lo, hi = sorted(runs)
-    fps = {json.dumps(r.get("fingerprints"), sort_keys=True) for rs in runs.values() for r in rs}
+    # compare fingerprints on the keys every pooled JVM carries (a tag
+    # that ADDS a leg adds a fingerprint key; shared legs must agree)
+    all_fps = [r.get("fingerprints") or {} for rs in runs.values() for r in rs]
+    shared = set.intersection(*(set(f) for f in all_fps))
+    assert shared, "no shared fingerprint keys across pooled JVMs"
+    fps = {json.dumps({k: f[k] for k in sorted(shared)}) for f in all_fps}
     assert len(fps) == 1, f"fingerprints differ across pooled JVMs: {fps}"
     legs = sorted(set.intersection(*(set(r["queries"]) for rs in runs.values() for r in rs)))
     print(f"pool: {len(runs[lo])}x local[{lo}] + {len(runs[hi])}x local[{hi}] JVMs, fingerprints identical")

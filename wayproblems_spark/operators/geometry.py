@@ -210,3 +210,116 @@ def simplify_ways(
         return pd.Series(out)
 
     return ways.withColumn(geom_col, _simp(F.col(geom_col)))
+
+
+def resample_ways(
+    ways: DataFrame,
+    spacing_m: float,
+    id_col: str = "way_id",
+    geom_col: str = "geom",
+) -> DataFrame:
+    """Fixed-spacing polyline resampling — the map-matching / trajectory
+    prep companion to :func:`simplify_ways`: emit a point every
+    ``spacing_m`` meters of arc length along each way, plus the final
+    endpoint. Returns ``(id_col, seq, lon, lat)`` with ``seq`` the
+    0-based sample index (sample k sits at exactly k*spacing of arc;
+    the last row is always the way's final vertex).
+
+    Geometry: per-segment great-circle interpolation (slerp on unit-
+    sphere xyz, one trig conversion per vertex); segment arcs from the
+    exact chord→arc relation 2·asin(|Δp|/2). Zero-length segments carry
+    no arc and are stepped over deterministically (searchsorted side
+    'right'), so duplicate vertices never divide by zero.
+
+    Scale shape: one Arrow-batched pandas UDF producing the sample array
+    per way + a posexplode — no shuffle, no driver involvement; output
+    multiplicity is len/spacing, the same explode-inside-scan shape the
+    tile and chunking operators use. Per-feature arc-parameterized
+    interpolation is the documented can't-express-in-built-ins case
+    (like the DP recursion above), hence the UDF."""
+    if spacing_m <= 0:
+        raise ValueError(f"spacing_m must be positive, got {spacing_m}")
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    spacing_arc = spacing_m / EARTH_RADIUS_M
+    ret = ArrayType(
+        StructType(
+            [StructField("lon", DoubleType()), StructField("lat", DoubleType())]
+        )
+    )
+
+    def _resample_one(lon: "np.ndarray", lat: "np.ndarray") -> list:
+        rl, rn = np.radians(lat), np.radians(lon)
+        p = np.stack(
+            [np.cos(rl) * np.cos(rn), np.cos(rl) * np.sin(rn), np.sin(rl)],
+            axis=1,
+        )
+        chord = np.linalg.norm(np.diff(p, axis=0), axis=1)
+        arc = 2.0 * np.arcsin(np.clip(chord / 2.0, 0.0, 1.0))
+        cum = np.concatenate([[0.0], np.cumsum(arc)])
+        total = float(cum[-1])
+        if total == 0.0:
+            return [{"lon": float(lon[0]), "lat": float(lat[0])},
+                    {"lon": float(lon[-1]), "lat": float(lat[-1])}]
+        n_k = int(total / spacing_arc)
+        targets = spacing_arc * np.arange(0, n_k + 1, dtype=np.float64)
+        seg = np.clip(
+            np.searchsorted(cum, targets, side="right") - 1, 0, len(arc) - 1
+        )
+        # step over zero-length segments: side='right' already lands each
+        # target on the first segment whose cum range contains it
+        theta = arc[seg]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            f = np.where(theta > 0.0, (targets - cum[seg]) / theta, 0.0)
+        a, b = p[seg], p[seg + 1]
+        st = np.sin(theta)
+        wa = np.where(theta > 0.0, np.sin((1.0 - f) * theta), 1.0)
+        wb = np.where(theta > 0.0, np.sin(f * theta), 0.0)
+        denom = np.where(st > 0.0, st, 1.0)
+        q = (wa[:, None] * a + wb[:, None] * b) / denom[:, None]
+        out_lon = np.degrees(np.arctan2(q[:, 1], q[:, 0]))
+        out_lat = np.degrees(
+            np.arctan2(q[:, 2], np.hypot(q[:, 0], q[:, 1]))
+        )
+        pts = [
+            {"lon": float(x), "lat": float(y)}
+            for x, y in zip(out_lon, out_lat)
+        ]
+        pts.append({"lon": float(lon[-1]), "lat": float(lat[-1])})
+        return pts
+
+    @pandas_udf(ret)
+    def _res(geoms: pd.Series) -> pd.Series:
+        out = []
+        for g in geoms:
+            if g is None or len(g) == 0:
+                out.append(None)
+                continue
+            if len(g) == 1:
+                v = {"lon": float(g[0]["lon"]), "lat": float(g[0]["lat"])}
+                out.append([v, v])
+                continue
+            lon = np.array([v["lon"] for v in g], dtype=np.float64)
+            lat = np.array([v["lat"] for v in g], dtype=np.float64)
+            out.append(_resample_one(lon, lat))
+        return pd.Series(out)
+
+    return (
+        ways.select(F.col(id_col), _res(F.col(geom_col)).alias("_pts"))
+        .filter(F.col("_pts").isNotNull())
+        .select(
+            id_col, F.posexplode("_pts").alias("seq", "_p")
+        )
+        .select(
+            id_col,
+            F.col("seq").cast("long").alias("seq"),
+            F.col("_p.lon").alias("lon"),
+            F.col("_p.lat").alias("lat"),
+        )
+    )
