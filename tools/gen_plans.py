@@ -57,6 +57,9 @@ frames["q48 cap_per_key (one key shuffle + row_number)"] = E.q48_cap_per_key_sql
 frames["q41 bm25_score (pruned postings, broadcast df, decimal sum)"] = E.q41_bm25_sql(spark, SF)
 frames["q38 asof_join (union -> one key shuffle -> sort carry)"] = E.q38_asof_join_sql(spark, SF)
 frames["q39 spatial_range_join (grid equi-join, chord filter)"] = E.q39_spatial_range_join_sql(spark, SF)
+frames["q51 unigram perplexity (broadcast LM join, one rollup shuffle)"] = E.q51_unigram_ppl_sql(spark, SF)
+frames["q53 mix_sources (literal rates, codegen CASE + explode)"] = E.q53_mix_sources_sql(spark, SF)
+frames["q54 shuffle_corpus (bucket window, NO SinglePartition)"] = E.q54_shuffle_rank_sql(spark, SF)
 
 out = ["# Plan audit — headline operators (`.explain(\"formatted\")`, local[8], sf0.01)\n",
        "Regenerate with `python tools/gen_plans.py`;",
