@@ -2960,6 +2960,54 @@ def r20_resample_ways(spark, sf_dir):
     )
 
 
+def r21_training_corpus(spark, sf_dir):
+    """The FULL training-corpus close-out composed (jobs/curate_corpus.py
+    round-6 stages): quality gate → LM perplexity cut [q51] (reference
+    slice = every 13th doc, cut 31.2 ≈ the corpus's 90th pct) → minhash
+    dedup → keep decision → source mixture [q53] (4 sources, 2 epochs) →
+    frozen global shuffle [q54]. Returns per-(source, epoch) row counts
+    + rank extremes — deterministic end to end. Rows-only by design:
+    every stage carries its own hash-exact oracle; this entry exercises
+    the composition."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "jobs")
+    )
+    from curate_corpus import curate
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    curated, decisions, vocab, stats, (staged, tp) = curate(
+        spark,
+        docs,
+        min_quality=0.3,
+        jaccard=0.8,
+        vocab_k=25,
+        lm_ref=docs.filter(F.col("doc_id") % 13 == 0),
+        max_ppl=31.2,
+        mix_weights={"src0": 0.5, "src1": 0.25, "src2": 0.125,
+                     "src3": 0.125},
+        mix_epochs=2.0,
+        shuffle=True,
+    )
+    out = (
+        curated.groupBy("source", "epoch")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("shuffle_rank").alias("rank_min"),
+            F.max("shuffle_rank").alias("rank_max"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for fr in tp:
+        fr.unpersist()
+    staged.unpersist()
+    return out
+
+
 def q51_unigram_ppl_sql(spark, sf_dir):
     """Unigram LM perplexity oracle: the production `train_unigram_lm` +
     `perplexity` (operators/lm.py — one reference-slice term count,
@@ -3113,6 +3161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r18_ivfpq_topk": r18_ivfpq_topk,
         "r19_simplify_ways": r19_simplify_ways,
         "r20_resample_ways": r20_resample_ways,
+        "r21_training_corpus": r21_training_corpus,
     }
 
 

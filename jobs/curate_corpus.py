@@ -29,10 +29,19 @@ unchanged):
                       `source`, frozen-md5 survivor draw [q48 oracle]
   2c. decontam      — `ngram_decontaminate` (decontam.py), --benchmark
                       path, drops eval-overlapping docs  [q46 oracle]
+  1c. LM perplexity — `perplexity_filter` (lm.py), --lm-ref + --max-ppl:
+                      CCNet head/middle cut vs a trusted
+                      reference slice                [q51/q52 oracles]
   3. near-dup dedup — `minhash_lsh_pairs` (dedup.py)     [q21 oracle]
   4. keep decision  — `canonical_docs` (components.py): per-group
                       max-quality keeper                  [q30 oracle]
   5. vocabulary     — `vocab_topk` (textstats.py)         [q32 oracle]
+  6. mixture        — `mix_sources` (mixing.py), --mix src=w,...:
+                      token-proportioned source mix w/ epoch
+                      upsampling; adds `epoch`            [q53 oracle]
+  7. train order    — `shuffle_corpus` (ordering.py), --shuffle:
+                      frozen global shuffle rank over (doc, epoch);
+                      adds `sample_id`, `shuffle_rank`    [q54 oracle]
 
 Scale shape: stages 0–2 are codegen filters/rewrites on the scan (1b
 adds one gram-count shuffle, 2b one key shuffle, 2c one broadcast-gram
@@ -76,6 +85,12 @@ def curate(
     source_cap: int = 0,
     benchmark=None,
     decontam_n: int = 13,
+    lm_ref=None,
+    max_ppl: float = 0.0,
+    mix_weights: dict[str, float] | None = None,
+    mix_epochs: float = 1.0,
+    mix_tokens: int | None = None,
+    shuffle: bool = False,
 ):
     """Run the funnel; returns the 5-tuple
     ``(curated_df, decisions_df, vocab_df, stats, (staged, tracked))``.
@@ -110,6 +125,16 @@ def curate(
         keep = repetition_filter(staged).filter(F.col("keep")).select("doc_id")
         staged = staged.join(keep, "doc_id")
         stats["after_repetition"] = staged.count()
+
+    if lm_ref is not None and max_ppl > 0:
+        from wayproblems_spark.operators.lm import (
+            perplexity_filter,
+            train_unigram_lm,
+        )
+
+        lm, lm_stats = train_unigram_lm(lm_ref)
+        staged = perplexity_filter(staged, lm, lm_stats, max_ppl)
+        stats["after_ppl"] = staged.count()
 
     staged = stratified_sample(
         staged, "doc_id", "lang", lang_rates or {}, default_rate=sample_rate,
@@ -149,7 +174,40 @@ def curate(
     curated = staged.join(
         decisions.filter(F.col("kept")).select("doc_id"), "doc_id"
     )
-    vocab = vocab_topk(curated, vocab_k)
+    vocab = vocab_topk(curated, vocab_k)  # over the DEDUPED corpus,
+    # before epoch replication inflates term counts
+
+    if mix_weights:
+        from wayproblems_spark.operators.mixing import mix_sources
+
+        curated, mix_stats = mix_sources(
+            curated,
+            mix_weights,
+            total_tokens=mix_tokens,
+            max_epochs=mix_epochs,
+            salt=salt,
+        )
+        stats["mix_target_tokens"] = mix_stats["_target_tokens"]
+        stats["mix"] = {
+            s: {"rate": v["rate"], "tokens": v["tokens"]}
+            for s, v in mix_stats.items()
+            if s != "_target_tokens"
+        }
+
+    if shuffle:
+        from wayproblems_spark.operators.ordering import shuffle_corpus
+
+        sample_id = (
+            F.concat_ws("#", F.col("doc_id"), F.col("epoch"))
+            if mix_weights
+            else F.col("doc_id").cast("string")
+        )
+        curated = shuffle_corpus(
+            curated.withColumn("sample_id", sample_id),
+            id_col="sample_id",
+            salt=salt,
+        )
+
     return curated, decisions, vocab, stats, (staged, tp)
 
 
@@ -171,6 +229,17 @@ def main(argv=None) -> int:
     ap.add_argument("--benchmark", default="",
                     help="parquet of eval texts; overlapping docs dropped")
     ap.add_argument("--decontam-n", type=int, default=13)
+    ap.add_argument("--lm-ref", default="",
+                    help="parquet of trusted reference docs; with "
+                         "--max-ppl, drops high-perplexity docs")
+    ap.add_argument("--max-ppl", type=float, default=0.0)
+    ap.add_argument("--mix", default="",
+                    help="source mixture weights src=w,... (token-"
+                         "proportioned, epoch-upsampled)")
+    ap.add_argument("--mix-epochs", type=float, default=1.0)
+    ap.add_argument("--mix-tokens", type=int, default=0)
+    ap.add_argument("--shuffle", action="store_true",
+                    help="assign frozen global training-order ranks")
     ap.add_argument("--cpus", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -194,6 +263,12 @@ def main(argv=None) -> int:
         source_cap=args.source_cap,
         benchmark=spark.read.parquet(args.benchmark) if args.benchmark else None,
         decontam_n=args.decontam_n,
+        lm_ref=spark.read.parquet(args.lm_ref) if args.lm_ref else None,
+        max_ppl=args.max_ppl,
+        mix_weights=parse_rates(args.mix) or None,
+        mix_epochs=args.mix_epochs,
+        mix_tokens=args.mix_tokens or None,
+        shuffle=args.shuffle,
     )
     curated.write.mode("overwrite").parquet(os.path.join(args.out, "curated"))
     decisions.write.mode("overwrite").parquet(os.path.join(args.out, "decisions"))

@@ -173,3 +173,67 @@ def test_cap_per_key_determinism(spark):
     )
     b = sorted(r["doc_id"] for r in cap_per_key(bigger, ["g"], 7).collect())
     assert len(b) == 21
+
+
+def test_curate_closing_stages(spark, tmp_path):
+    """Round-6 closing stages: LM perplexity cut -> source mixture ->
+    frozen training-order shuffle. The ppl cut is derived from the
+    operator itself (midpoint between a planted OOV-heavy doc and the
+    in-domain docs), so the test is deterministic without pinning
+    floats."""
+    from pyspark.sql import functions as F
+
+    from curate_corpus import curate
+    from wayproblems_spark.operators.lm import perplexity, train_unigram_lm
+
+    base = _corpus(spark).withColumn(
+        "source", F.concat(F.lit("s"), (F.col("doc_id") % 2).cast("string"))
+    )
+    # passes the quality gate (stopword prefix, decent length) but is
+    # OOV-heavy vs the reference slice -> high perplexity
+    oov = spark.createDataFrame(
+        [(3000, _STOP + " qqq zzz vvv kkk jjj uuu nnn mmm ppp rrr sss ttt",
+          "en", "s0")],
+        "doc_id long, text string, lang string, source string",
+    )
+    docs = base.union(oov)
+    lm_ref = base.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+
+    lm, lm_stats = train_unigram_lm(lm_ref)
+    ppl = {
+        r["doc_id"]: r["ppl"]
+        for r in perplexity(
+            docs.select("doc_id", "text"), lm, lm_stats
+        ).collect()
+    }
+    # cut between the WORST legit doc (the variants carry 2 OOV tokens
+    # each) and the planted mostly-OOV doc
+    worst_legit = max(p for d, p in ppl.items() if d < 1000 and p)
+    cut = (worst_legit + ppl[3000]) / 2
+    assert worst_legit < cut < ppl[3000]
+
+    curated, decisions, vocab, stats, (staged, tp) = curate(
+        spark, docs, min_quality=0.5, jaccard=0.8, vocab_k=50,
+        lm_ref=lm_ref, max_ppl=cut,
+        mix_weights={"s0": 0.5, "s1": 0.5}, mix_epochs=2.0,
+        shuffle=True,
+    )
+    rows = curated.collect()
+    for fr in tp:
+        fr.unpersist()
+    staged.unpersist()
+
+    # the OOV doc died at the ppl stage (it would otherwise survive:
+    # unique tokens, no near-dups)
+    assert stats["after_ppl"] == stats["after_quality"] - 1
+    ids = {r["doc_id"] for r in rows}
+    assert 3000 not in ids
+    # mixture: epoch column present, (doc_id, epoch) unique, stats carry
+    # rates; shuffle: ranks are an exact 0..n-1 permutation
+    keys = [(r["doc_id"], r["epoch"]) for r in rows]
+    assert len(keys) == len(set(keys))
+    assert set(stats["mix"]) == {"s0", "s1"}
+    assert stats["mix_target_tokens"] > 0
+    ranks = sorted(r["shuffle_rank"] for r in rows)
+    assert ranks == list(range(len(rows)))
+    assert "sample_id" in curated.columns
