@@ -146,3 +146,19 @@ def test_token_count_col_override(spark):
             py_tot[s] = py_tot.get(s, 0) + len(text)
     for s in WEIGHTS:
         assert stats[s]["tokens"] == py_tot[s]
+
+
+def test_join_rates_path_matches_case_path(spark):
+    """The broadcast-join decision path (the >64-source shape) must make
+    bit-identical choices to the literal-CASE path."""
+    from wayproblems_spark.operators.mixing import mix_sources
+
+    df = _df(spark)
+    a, sa = mix_sources(df, WEIGHTS, max_epochs=3.0, use_join_rates=False)
+    b, sb = mix_sources(df, WEIGHTS, max_epochs=3.0, use_join_rates=True)
+    ka = sorted((r["doc_id"], r["epoch"]) for r in a.collect())
+    kb = sorted((r["doc_id"], r["epoch"]) for r in b.collect())
+    assert ka == kb and len(ka) > 0
+    assert {s: sa[s]["rate"] for s in WEIGHTS} == {
+        s: sb[s]["rate"] for s in WEIGHTS
+    }

@@ -82,3 +82,25 @@ def test_no_single_partition_stage(spark):
 
     plan = shuffle_corpus(_df(spark))._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_bucket_chars_invariant(spark):
+    """Any bucket fan-out yields the identical global rank (the bucket
+    is a prefix of the sort key at every width)."""
+    from wayproblems_spark.operators.ordering import shuffle_corpus
+
+    df = _df(spark)
+    base = {
+        r["doc_id"]: r["shuffle_rank"] for r in shuffle_corpus(df).collect()
+    }
+    for chars in (1, 3):
+        got = {
+            r["doc_id"]: r["shuffle_rank"]
+            for r in shuffle_corpus(df, bucket_chars=chars).collect()
+        }
+        assert got == base, chars
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="bucket_chars"):
+        shuffle_corpus(df, bucket_chars=0)

@@ -68,6 +68,7 @@ def mix_sources(
     text_col: str = "text",
     token_count_col: str | None = None,
     salt: str = "mix",
+    use_join_rates: bool | None = None,
 ) -> tuple[DataFrame, dict]:
     """Mix ``docs`` to the target source proportions. Returns
     ``(mixed_df, stats)``: ``mixed_df`` = the input rows of weighted
@@ -79,6 +80,13 @@ def mix_sources(
     no corpus tokens raises (the proportion is unsatisfiable; pick your
     own fallback explicitly). ``token_count_col`` overrides the default
     whitespace-token count (pass a precomputed BPE count column).
+
+    Physical shape of the per-row decision: a literal CASE when the
+    weight map is small, a broadcast join against a (source, n_full,
+    threshold) table when it is large (``use_join_rates``: None = auto
+    at >64 sources — a domain-level mix with 10^5 keys must not become
+    a 10^5-branch plan expression). Both paths make bit-identical
+    decisions.
     """
     if not weights:
         raise ValueError("weights must be non-empty")
@@ -107,17 +115,11 @@ def mix_sources(
 
     w_sum = sum(weights.values())
     stats: dict = {"_target_tokens": n}
-    nfull_expr, thr_expr = F.lit(0), F.lit(0)
+    cuts = {}
     for s in sorted(weights):
         rate = rates[s]
         n_full = int(rate)
-        thr = int((rate - n_full) * _DENOM)
-        nfull_expr = F.when(
-            F.col(source_col) == s, F.lit(n_full)
-        ).otherwise(nfull_expr)
-        thr_expr = F.when(F.col(source_col) == s, F.lit(thr)).otherwise(
-            thr_expr
-        )
+        cuts[s] = (n_full, int((rate - n_full) * _DENOM))
         stats[s] = {
             "tokens": totals[s],
             "weight": weights[s] / w_sum,
@@ -126,16 +128,38 @@ def mix_sources(
             "expected_tokens": rate * totals[s],
         }
 
-    n_copies = nfull_expr + (
-        _hash_u32(F.col(id_col), salt) < thr_expr
-    ).cast("int")
+    u = _hash_u32(F.col(id_col), salt)
+    if use_join_rates is None:
+        use_join_rates = len(weights) > 64
+    if use_join_rates:
+        rdf = docs.sparkSession.createDataFrame(
+            [(s, nf, thr) for s, (nf, thr) in cuts.items()],
+            f"{source_col} string, _nf int, _thr long",
+        )
+        # inner join both applies the rates AND drops unweighted sources
+        base = docs.join(F.broadcast(rdf), source_col).withColumn(
+            "_nc", F.col("_nf") + (u < F.col("_thr")).cast("int")
+        )
+        drop_cols = ["_nc", "_nf", "_thr"]
+    else:
+        nfull_expr, thr_expr = F.lit(0), F.lit(0).cast("long")
+        for s, (nf, thr) in cuts.items():
+            nfull_expr = F.when(
+                F.col(source_col) == s, F.lit(nf)
+            ).otherwise(nfull_expr)
+            thr_expr = F.when(
+                F.col(source_col) == s, F.lit(thr).cast("long")
+            ).otherwise(thr_expr)
+        base = docs.withColumn(
+            "_nc", nfull_expr + (u < thr_expr).cast("int")
+        )
+        drop_cols = ["_nc"]
     mixed = (
-        docs.withColumn("_nc", n_copies)
-        .filter(F.col("_nc") > 0)  # sequence(0,-1) DESCENDS — never emit it
+        base.filter(F.col("_nc") > 0)  # sequence(0,-1) DESCENDS
         .withColumn(
             "epoch", F.explode(F.sequence(F.lit(0), F.col("_nc") - 1))
         )
         .withColumn("epoch", F.col("epoch").cast("long"))
-        .drop("_nc")
+        .drop(*drop_cols)
     )
     return mixed, stats

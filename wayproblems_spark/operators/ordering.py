@@ -47,42 +47,51 @@ def shuffle_corpus(
     id_col: str = "doc_id",
     salt: str = "shuffle",
     rank_col: str = "shuffle_rank",
+    bucket_chars: int = 2,
 ) -> DataFrame:
     """Adds ``rank_col``: the row's 0-based position in the frozen
     shuffled order ``(md5(salt||id), id)``. Exact, deterministic,
     repartition-stable; collisions in the 8-hex draw fall back to the
     id tie-break, so the order is total whenever ``id_col`` is unique.
+
+    ``bucket_chars`` sets the bucket fan-out (16^chars): any width gives
+    the IDENTICAL rank (the bucket is a prefix of the sort key at every
+    width — only the decomposition changes). Size it so
+    ``n_rows / 16^chars < 2^31``: ``row_number`` is a 32-bit counter, so
+    the default 256 buckets cap at ~5×10^11 rows — pass 3 (4,096
+    buckets) or 4 (65,536) for a 10^12-row corpus. Offsets ride a
+    broadcast join (one row per non-empty bucket), never a literal CASE,
+    so wide fan-outs don't bloat the plan.
     """
+    if not 1 <= bucket_chars <= 8:
+        raise ValueError(f"bucket_chars must be in 1..8, got {bucket_chars}")
     draw = _draw(id_col, salt)
-    bucket = F.conv(F.substring(draw, 1, 2), 16, 10).cast("int")
+    bucket = F.conv(F.substring(draw, 1, bucket_chars), 16, 10).cast("long")
 
     counts = (
         df.groupBy(bucket.alias("_b"))
         .agg(F.count("*").alias("_n"))
         .collect()
     )
-    offsets, acc = {}, 0
+    rows, acc = [], 0
     for row in sorted(counts, key=lambda r: r["_b"]):
-        offsets[row["_b"]] = acc
+        rows.append((row["_b"], acc))
         acc += row["_n"]
-
-    off_expr = F.lit(0).cast("long")
-    for b in sorted(offsets):
-        off_expr = (
-            F.when(F.col("_b") == b, F.lit(offsets[b]).cast("long"))
-            .otherwise(off_expr)
-        )
+    if not rows:
+        return df.withColumn(rank_col, F.lit(None).cast("long"))
+    offs = df.sparkSession.createDataFrame(rows, "_b long, _off long")
 
     w = Window.partitionBy("_b").orderBy(
         _draw(id_col, salt), F.col(id_col)
     )
     return (
         df.withColumn("_b", bucket)
+        .join(F.broadcast(offs), "_b")
         .withColumn(
             rank_col,
-            off_expr + F.row_number().over(w).cast("long") - F.lit(1),
+            F.col("_off") + F.row_number().over(w).cast("long") - F.lit(1),
         )
-        .drop("_b")
+        .drop("_b", "_off")
     )
 
 
