@@ -99,9 +99,11 @@ def curate(
     decisions_df is the full (doc_id, keeper_id, kept) audit for every
     doc that survived stages 1–2. The 5th element owns this call's
     persisted frames: ``staged`` (the stage-1/2 survivors) and
-    ``tracked`` (minhash's internal shingle frame) — the CALLER MUST
-    unpersist both after materializing the outputs (see main()/r16), or
-    they stay pinned in the session's cache for its lifetime."""
+    ``tracked`` (minhash's internal shingle frame, plus the deduped
+    corpus when the mix/shuffle stages are on) — the CALLER MUST
+    unpersist all of them after materializing the outputs (see
+    main()/r16), or they stay pinned in the session's cache for its
+    lifetime."""
     from pyspark.sql import functions as F
 
     from wayproblems_spark.operators.components import canonical_docs
@@ -176,6 +178,15 @@ def curate(
     )
     vocab = vocab_topk(curated, vocab_k)  # over the DEDUPED corpus,
     # before epoch replication inflates term counts
+
+    if mix_weights or shuffle:
+        # the closing stages make extra passes over the funnel tail
+        # (mix collects per-source totals; shuffle counts buckets then
+        # ranks) — persist the deduped corpus so each pass reads the
+        # cache, not the whole quality→dedup pipeline again. Released
+        # by the caller with the rest of the tracked frames.
+        curated = curated.persist()
+        tp.append(curated)
 
     if mix_weights:
         from wayproblems_spark.operators.mixing import mix_sources

@@ -145,7 +145,11 @@ def perplexity_filter(
 ) -> DataFrame:
     """Keep documents with ``ppl <= max_ppl`` (the CCNet "head/middle"
     cut). Empty documents are dropped (no evidence they match the
-    reference distribution)."""
+    reference distribution).
+
+    Makes two passes over ``docs`` (score + join back) — persist the
+    input first if it is itself an expensive pipeline rather than a
+    table scan."""
     scored = perplexity(docs, lm, stats, id_col=id_col, text_col=text_col)
     return docs.join(
         scored.filter(F.col("ppl") <= F.lit(max_ppl)).select(id_col),
