@@ -978,6 +978,131 @@ ORACLE = {
                           doc_id) - 1 AS BIGINT) AS shuffle_rank
         FROM documents
     """,
+
+    # Polygon overlay — brute-force DuckDB: bbox candidate pairs, then
+    # 4-orientation edge x edge test (+ collinear-touch bboxes) OR
+    # even-odd rep-vertex parity either direction. Same arithmetic as
+    # operators/overlay.py; lattice coords make every product exact.
+    "q55_overlay_sql": """
+        WITH a AS (
+          SELECT event_id AS a_id,
+                 ((event_id // 97) % 20) * 4.0 AS cx,
+                 (((event_id // 97) // 20) % 20) * 4.0 AS cy,
+                 1.0 + ((event_id // 97) % 3) * 0.5 AS r
+          FROM events WHERE event_id % 97 = 0),
+        b AS (
+          SELECT event_id AS b_id,
+                 ((event_id // 101) % 20) * 4.0 + (((event_id // 101) * 3) % 4) * 0.5 AS cx,
+                 (((event_id // 101) // 20) % 20) * 4.0 + (((event_id // 101) * 7) % 3) * 0.5 AS cy,
+                 0.5 + ((event_id // 101) % 5) * 0.5 AS r
+          FROM events WHERE event_id % 101 = 0),
+        ks(k) AS (VALUES (0),(1),(2),(3)),
+        av AS (SELECT a_id, k,
+                 cx + CASE k WHEN 0 THEN r WHEN 2 THEN -r ELSE 0.0 END AS vx,
+                 cy + CASE k WHEN 1 THEN r WHEN 3 THEN -r ELSE 0.0 END AS vy
+               FROM a CROSS JOIN ks),
+        ae AS (SELECT v1.a_id, v1.vx AS p1x, v1.vy AS p1y, v2.vx AS p2x, v2.vy AS p2y
+               FROM av v1 JOIN av v2 ON v1.a_id = v2.a_id AND v2.k = (v1.k + 1) % 4),
+        bv AS (SELECT b_id, k,
+                 cx + CASE WHEN k IN (0, 3) THEN -r ELSE r END AS vx,
+                 cy + CASE WHEN k IN (0, 1) THEN -r ELSE r END AS vy
+               FROM b CROSS JOIN ks),
+        be AS (SELECT v1.b_id, v1.vx AS q1x, v1.vy AS q1y, v2.vx AS q2x, v2.vy AS q2y
+               FROM bv v1 JOIN bv v2 ON v1.b_id = v2.b_id AND v2.k = (v1.k + 1) % 4),
+        cand AS (SELECT a_id, b_id, a.cx AS acx, a.cy AS acy, a.r AS ar,
+                        b.cx AS bcx, b.cy AS bcy, b.r AS br
+                 FROM a CROSS JOIN b
+                 WHERE ABS(a.cx - b.cx) <= a.r + b.r AND ABS(a.cy - b.cy) <= a.r + b.r),
+        xh AS (
+          SELECT DISTINCT a_id, b_id FROM (
+            SELECT c.a_id, c.b_id,
+              (ae.p2x-ae.p1x)*(be.q1y-ae.p1y) - (ae.p2y-ae.p1y)*(be.q1x-ae.p1x) AS d1,
+              (ae.p2x-ae.p1x)*(be.q2y-ae.p1y) - (ae.p2y-ae.p1y)*(be.q2x-ae.p1x) AS d2,
+              (be.q2x-be.q1x)*(ae.p1y-be.q1y) - (be.q2y-be.q1y)*(ae.p1x-be.q1x) AS d3,
+              (be.q2x-be.q1x)*(ae.p2y-be.q1y) - (be.q2y-be.q1y)*(ae.p2x-be.q1x) AS d4,
+              ae.p1x, ae.p1y, ae.p2x, ae.p2y, be.q1x, be.q1y, be.q2x, be.q2y
+            FROM cand c JOIN ae ON ae.a_id = c.a_id JOIN be ON be.b_id = c.b_id) t
+          WHERE (((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+                 AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0)))
+             OR (ABS(d1) < 1e-12 AND q1x >= LEAST(p1x,p2x)-1e-12 AND q1x <= GREATEST(p1x,p2x)+1e-12
+                                 AND q1y >= LEAST(p1y,p2y)-1e-12 AND q1y <= GREATEST(p1y,p2y)+1e-12)
+             OR (ABS(d2) < 1e-12 AND q2x >= LEAST(p1x,p2x)-1e-12 AND q2x <= GREATEST(p1x,p2x)+1e-12
+                                 AND q2y >= LEAST(p1y,p2y)-1e-12 AND q2y <= GREATEST(p1y,p2y)+1e-12)
+             OR (ABS(d3) < 1e-12 AND p1x >= LEAST(q1x,q2x)-1e-12 AND p1x <= GREATEST(q1x,q2x)+1e-12
+                                 AND p1y >= LEAST(q1y,q2y)-1e-12 AND p1y <= GREATEST(q1y,q2y)+1e-12)
+             OR (ABS(d4) < 1e-12 AND p2x >= LEAST(q1x,q2x)-1e-12 AND p2x <= GREATEST(q1x,q2x)+1e-12
+                                 AND p2y >= LEAST(q1y,q2y)-1e-12 AND p2y <= GREATEST(q1y,q2y)+1e-12)),
+        bina AS (
+          SELECT c.a_id, c.b_id
+          FROM cand c JOIN ae ON ae.a_id = c.a_id
+          GROUP BY c.a_id, c.b_id, c.bcx, c.bcy, c.br
+          HAVING SUM(CASE WHEN ((ae.p1y > c.bcy - c.br) != (ae.p2y > c.bcy - c.br))
+                           AND (c.bcx - c.br) < (ae.p2x - ae.p1x) * ((c.bcy - c.br) - ae.p1y)
+                                                / (ae.p2y - ae.p1y) + ae.p1x
+                          THEN 1 ELSE 0 END) % 2 = 1
+              OR MAX(CASE WHEN ABS((ae.p2x-ae.p1x)*((c.bcy-c.br)-ae.p1y)
+                                   - (ae.p2y-ae.p1y)*((c.bcx-c.br)-ae.p1x)) < 1e-12
+                           AND (c.bcx-c.br) >= LEAST(ae.p1x,ae.p2x)-1e-12
+                           AND (c.bcx-c.br) <= GREATEST(ae.p1x,ae.p2x)+1e-12
+                           AND (c.bcy-c.br) >= LEAST(ae.p1y,ae.p2y)-1e-12
+                           AND (c.bcy-c.br) <= GREATEST(ae.p1y,ae.p2y)+1e-12
+                          THEN 1 ELSE 0 END) = 1),
+        ainb AS (
+          SELECT c.a_id, c.b_id
+          FROM cand c JOIN be ON be.b_id = c.b_id
+          GROUP BY c.a_id, c.b_id, c.acx, c.acy, c.ar
+          HAVING SUM(CASE WHEN ((be.q1y > c.acy) != (be.q2y > c.acy))
+                           AND (c.acx + c.ar) < (be.q2x - be.q1x) * (c.acy - be.q1y)
+                                                / (be.q2y - be.q1y) + be.q1x
+                          THEN 1 ELSE 0 END) % 2 = 1
+              OR MAX(CASE WHEN ABS((be.q2x-be.q1x)*(c.acy-be.q1y)
+                                   - (be.q2y-be.q1y)*((c.acx+c.ar)-be.q1x)) < 1e-12
+                           AND (c.acx+c.ar) >= LEAST(be.q1x,be.q2x)-1e-12
+                           AND (c.acx+c.ar) <= GREATEST(be.q1x,be.q2x)+1e-12
+                           AND c.acy >= LEAST(be.q1y,be.q2y)-1e-12
+                           AND c.acy <= GREATEST(be.q1y,be.q2y)+1e-12
+                          THEN 1 ELSE 0 END) = 1)
+        SELECT DISTINCT a_id, b_id FROM (
+          SELECT a_id, b_id FROM xh
+          UNION ALL SELECT a_id, b_id FROM bina
+          UNION ALL SELECT a_id, b_id FROM ainb) u
+    """,
+
+    # Zonal stats — q15's locked parity ray cast assigns points, then the
+    # per-polygon aggregate accumulates the payload in DECIMAL(38,6)
+    # (order-insensitive) with avg derived by ONE double division.
+    "q56_zonal_stats_sql": f"""
+        WITH pts AS (
+          SELECT event_id AS point_id,
+                 5.0 + (event_id % 20000)/1000.0 AS py,
+                 38.0 + ((event_id*7) % 14000)/1000.0 AS px,
+                 (event_id % 997) / CAST(4.0 AS DOUBLE) AS val
+          FROM events),
+        edges(poly_id, kind, ax, ay, bx, by) AS (VALUES
+               {_pip_edges_values()}),
+        t AS (
+          SELECT p.point_id, e.poly_id, e.kind,
+                 CASE WHEN ((e.ay > p.py) != (e.by > p.py))
+                       AND p.px < (e.bx - e.ax) * (p.py - e.ay) / (e.by - e.ay) + e.ax
+                      THEN 1 ELSE 0 END AS crossing,
+                 CASE WHEN ABS((e.bx - e.ax)*(p.py - e.ay) - (e.by - e.ay)*(p.px - e.ax)) < 1e-12
+                       AND p.px >= LEAST(e.ax, e.bx) - 1e-12 AND p.px <= GREATEST(e.ax, e.bx) + 1e-12
+                       AND p.py >= LEAST(e.ay, e.by) - 1e-12 AND p.py <= GREATEST(e.ay, e.by) + 1e-12
+                      THEN 1 ELSE 0 END AS onedge
+          FROM pts p CROSS JOIN edges e),
+        hit AS (
+          SELECT point_id, CAST(poly_id AS BIGINT) AS poly_id, kind
+          FROM t GROUP BY point_id, poly_id, kind
+          HAVING SUM(crossing) % 2 = 1 OR MAX(onedge) = 1)
+        SELECT h.poly_id, h.kind,
+               COUNT(*) AS n_points,
+               CAST(SUM(CAST(p.val AS DECIMAL(38,6))) AS DOUBLE) AS val_sum,
+               MIN(p.val) AS val_min,
+               MAX(p.val) AS val_max,
+               CAST(SUM(CAST(p.val AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS val_avg
+        FROM hit h JOIN pts p USING (point_id)
+        GROUP BY h.poly_id, h.kind
+    """,
     # PQ encode — per-subspace nearest-codeword argmin recomputed with
     # nested list_transform; list_indexof(d, list_min(d)) is first-match,
     # the numpy argmin tie rule. (x)*(x) both sides, never pow().
@@ -3085,6 +3210,91 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+
+def q55_overlay_sql(spark, sf_dir):
+    """Polygon overlay intersects join (operators/overlay.py) — layer A
+    diamonds vs layer B squares on an exact-binary half-unit lattice
+    (every orientation product is exact in doubles, so EPS tests act as
+    exact zero tests and the intersects boolean is deterministic in both
+    engines). The parametrization plants proper overlaps, exact
+    vertex-on-edge touches (j === 45 mod 60), corner-on-edge containment
+    ties (j === 0 mod 60), and strict A-in-B containment with zero edge
+    crossings — all three decision paths of the operator fire. Oracle =
+    DuckDB brute force over bbox candidates (4-orientation segment test
+    + even-odd rep-vertex parity), pre-validated against an
+    exact-rational Fraction reference (tests/test_overlay.py)."""
+    from wayproblems_spark.operators.overlay import polygon_intersect_join
+
+    ev = _t(spark, sf_dir, "events")
+
+    def V(x, y):
+        return F.struct(x.alias("lon"), y.alias("lat"))
+
+    a0 = ev.filter("event_id % 97 = 0").selectExpr(
+        "event_id AS poly_id",
+        "CAST((event_id DIV 97) % 20 AS DOUBLE) * 4.0 AS cx",
+        "CAST(((event_id DIV 97) DIV 20) % 20 AS DOUBLE) * 4.0 AS cy",
+        "1.0 + CAST((event_id DIV 97) % 3 AS DOUBLE) * 0.5 AS r",
+    )
+    cx, cy, r = F.col("cx"), F.col("cy"), F.col("r")
+    polys_a = a0.select(
+        "poly_id",
+        F.lit("a").alias("kind"),
+        F.array(
+            V(cx + r, cy), V(cx, cy + r), V(cx - r, cy), V(cx, cy - r), V(cx + r, cy)
+        ).alias("ring"),
+    )
+    b0 = ev.filter("event_id % 101 = 0").selectExpr(
+        "event_id AS poly_id",
+        "CAST((event_id DIV 101) % 20 AS DOUBLE) * 4.0"
+        " + CAST(((event_id DIV 101) * 3) % 4 AS DOUBLE) * 0.5 AS cx",
+        "CAST(((event_id DIV 101) DIV 20) % 20 AS DOUBLE) * 4.0"
+        " + CAST(((event_id DIV 101) * 7) % 3 AS DOUBLE) * 0.5 AS cy",
+        "0.5 + CAST((event_id DIV 101) % 5 AS DOUBLE) * 0.5 AS r",
+    )
+    polys_b = b0.select(
+        "poly_id",
+        F.lit("b").alias("kind"),
+        F.array(
+            V(cx - r, cy - r),
+            V(cx + r, cy - r),
+            V(cx + r, cy + r),
+            V(cx - r, cy + r),
+            V(cx - r, cy - r),
+        ).alias("ring"),
+    )
+    return polygon_intersect_join(spark, polys_a, polys_b, level=9).select(
+        "a_id", "b_id"
+    )
+
+
+def q56_zonal_stats_sql(spark, sf_dir):
+    """Zonal statistics (operators/zonal.py) over the q15 polygon fixture
+    with deterministic quarter-unit point payloads — DuckDB recomputes
+    the full parity ray cast (q15's locked SQL) plus the decimal(38,6)
+    aggregate; avg is derived from the decimal sum by one double
+    division on both sides, so it is bit-stable."""
+    from wayproblems_spark.operators.zonal import zonal_stats
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("event_id").alias("point_id"),
+        (F.lit(5.0) + (F.col("event_id") % 20000) / 1000.0).alias("lat"),
+        (F.lit(38.0) + ((F.col("event_id") * 7) % 14000) / 1000.0).alias("lon"),
+        ((F.col("event_id") % 997) / F.lit(4.0)).alias("val"),
+    )
+    polys = spark.createDataFrame(
+        [(pid, kind, ring) for pid, kind, ring in _PIP_POLYS],
+        "poly_id long, kind string, ring array<struct<lon:double,lat:double>>",
+    )
+    # final projection casts the decimal sum to double (exact here, and
+    # correctly-rounded in both engines) — decimal COLUMNS in the compared
+    # output would hash differently purely from CSV scale rendering
+    return zonal_stats(spark, pts, polys, value_cols=("val",), level=9).withColumn(
+        "val_sum", F.col("val_sum").cast("double")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3141,6 +3351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_bigram_ppl_sql": q52_bigram_ppl_sql,
         "q53_mix_sources_sql": q53_mix_sources_sql,
         "q54_shuffle_rank_sql": q54_shuffle_rank_sql,
+        "q55_overlay_sql": q55_overlay_sql,
+        "q56_zonal_stats_sql": q56_zonal_stats_sql,
         "r01_wayproblems_problems": r01_wayproblems_problems,
         "r02_wayproblems_stdout": r02_wayproblems_stdout,
         "r03_tile_counts": r03_tile_counts,

@@ -1,0 +1,78 @@
+"""Zonal statistics — per-polygon aggregates over a point layer.
+
+The tile/admin rollup the reference renders per admin area
+(wayproblems' per-layer problem counts, sinks/meta.py popup counts),
+generalized: assign each point to its containing polygons with the
+oracle-locked G4 ray cast (operators/pip.py, q15/q20 hash-exact), then
+aggregate point payloads per (poly_id, kind).
+
+Numeric discipline: double SUM/AVG over a group is accumulation-order
+dependent (Spark's partial aggregates vs any serial engine), so sums
+accumulate in decimal(38,6) — exact and order-insensitive for payloads
+with ≤6 fractional digits — and avg is derived from the decimal sum by
+one final double division. min/max/count are exact as-is.
+
+100 TB shape: identical to G4 — the polygon index broadcasts (pass a
+persisted ``build_pip_index`` result via ``prebuilt=`` to amortize it
+across calls), the point side never shuffles until the final aggregate
+on (poly_id, kind), whose cardinality is the polygon count, not the
+point count. Map-side partial aggregation collapses each task's points
+before the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .pip import point_in_polygon
+
+__all__ = ["zonal_stats"]
+
+
+def zonal_stats(
+    spark,
+    points: DataFrame,
+    polys: DataFrame | None,
+    value_cols: tuple[str, ...] = (),
+    level: int = 10,
+    id_col: str = "point_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    samples: int | None = None,
+    prebuilt=None,
+) -> DataFrame:
+    """(poly_id, kind, n_points[, <v>_sum, <v>_min, <v>_max, <v>_avg ...]).
+
+    Polygons containing no points are absent — left-join the polygon
+    frame downstream for zero rows. ``id_col`` must be unique per point
+    (the G4 parity contract). ``value_cols`` are numeric point columns;
+    each contributes decimal-accumulated sum, exact min/max, and an avg
+    derived from the decimal sum."""
+    hits = point_in_polygon(
+        spark,
+        points,
+        polys,
+        level=level,
+        id_col=id_col,
+        lat_col=lat_col,
+        lon_col=lon_col,
+        samples=samples,
+        prebuilt=prebuilt,
+    )
+    joined = hits.join(points, id_col)
+    aggs = [F.count(F.lit(1)).alias("n_points")]
+    for v in value_cols:
+        dec = F.col(v).cast("decimal(38,6)")
+        aggs += [
+            F.sum(dec).alias(f"{v}_sum"),
+            F.min(F.col(v)).alias(f"{v}_min"),
+            F.max(F.col(v)).alias(f"{v}_max"),
+        ]
+    out = joined.groupBy("poly_id", "kind").agg(*aggs)
+    for v in value_cols:
+        out = out.withColumn(
+            f"{v}_avg",
+            F.col(f"{v}_sum").cast("double") / F.col("n_points"),
+        )
+    return out
