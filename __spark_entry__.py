@@ -1103,6 +1103,46 @@ ORACLE = {
         FROM hit h JOIN pts p USING (point_id)
         GROUP BY h.poly_id, h.kind
     """,
+
+    # Exact-substring repeated spans — full DuckDB recompute of the
+    # k-gram-seed pipeline: identical tokenization, gram counts,
+    # covered-position join, gaps-and-islands merge (gap > k breaks).
+    "q57_repeated_spans_sql": """
+        WITH docs AS (
+          SELECT doc_id,
+                 concat(text, ' ', CASE WHEN doc_id % 3 = 0 THEN
+                   'subscribe to our newsletter for weekly updates and offers today'
+                 WHEN doc_id % 3 = 1 THEN
+                   'all rights reserved contact the site administrator for details'
+                 ELSE
+                   'follow us on social media channels for the latest announcements'
+                 END) AS text
+          FROM documents),
+        toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+          FROM docs),
+        grams AS (
+          SELECT doc_id, i AS pos,
+                 array_to_string(list_slice(t, i + 1, i + 8), ' ') AS gram
+          FROM toks, UNNEST(range(len(t) - 8 + 1)) AS u(i)
+          WHERE len(t) >= 8),
+        dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+        cov AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+        m AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                      THEN 1 ELSE 0 END AS brk
+          FROM cov),
+        i AS (
+          SELECT doc_id, pos,
+                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS island
+          FROM m)
+        SELECT doc_id,
+               CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) + 8 AS BIGINT) AS span_end
+        FROM i GROUP BY doc_id, island
+    """,
     # PQ encode — per-subspace nearest-codeword argmin recomputed with
     # nested list_transform; list_indexof(d, list_min(d)) is first-match,
     # the numpy argmin tie rule. (x)*(x) both sides, never pow().
@@ -3295,6 +3335,38 @@ def q56_zonal_stats_sql(spark, sf_dir):
     )
 
 
+
+def q57_repeated_spans_sql(spark, sf_dir):
+    """Exact-substring dedup (operators/substring_dedup.py — the Lee
+    et al. suffix-array technique in k-gram-seed form): repeated token
+    spans of length >= k over documents with injected per-residue
+    boilerplate tails (every doc shares its tail with its residue
+    class; natural template repeats surface too and the oracle
+    recomputes them identically). All-integer/string arithmetic — no
+    float risk anywhere. Oracle = full DuckDB recompute: gram counts,
+    covered positions, gaps-and-islands merge."""
+    from wayproblems_spark.operators.substring_dedup import repeated_spans
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "concat(text, ' ', CASE WHEN doc_id % 3 = 0 THEN "
+            "'subscribe to our newsletter for weekly updates and offers today' "
+            "WHEN doc_id % 3 = 1 THEN "
+            "'all rights reserved contact the site administrator for details' "
+            "ELSE "
+            "'follow us on social media channels for the latest announcements' "
+            "END)"
+        ).alias("text"),
+    )
+    spans = repeated_spans(docs, k=8)
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3353,6 +3425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_shuffle_rank_sql": q54_shuffle_rank_sql,
         "q55_overlay_sql": q55_overlay_sql,
         "q56_zonal_stats_sql": q56_zonal_stats_sql,
+        "q57_repeated_spans_sql": q57_repeated_spans_sql,
         "r01_wayproblems_problems": r01_wayproblems_problems,
         "r02_wayproblems_stdout": r02_wayproblems_stdout,
         "r03_tile_counts": r03_tile_counts,
