@@ -1919,7 +1919,7 @@ def r15_embedding_near_dups(spark, sf_dir):
 def r16_curate_corpus(spark, sf_dir):
     """The corpus-curation pipeline capstone (jobs/curate_corpus.py) run
     end-to-end over the fixture documents table with EVERY stage on:
-    PII scrub [q44] → quality gate [q26] → repetition filter [q45] →
+    PII scrub [q44] → substring strip [q57] → quality gate [q26] → repetition filter [q45] →
     md5-stratified sampling [q29] → per-source cap [q48] → benchmark
     decontamination [q46] → MinHash near-dup pairs [q21] → max-quality
     keep decision [q30] — returns the (doc_id, keeper_id, kept) decision
@@ -1941,7 +1941,7 @@ def r16_curate_corpus(spark, sf_dir):
     )
     curated, decisions, vocab, stats, (staged, tp) = curate(
         spark, docs, min_quality=0.3, jaccard=0.8, vocab_k=25,
-        redact=True, repetition=True, source_cap=40,
+        redact=True, strip_substrings=8, repetition=True, source_cap=40,
         benchmark=docs.filter(F.col("doc_id") % 13 == 0), decontam_n=5,
     )
     # materialize the (small) audit eagerly, then release curate()'s

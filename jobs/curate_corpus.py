@@ -19,6 +19,10 @@ Stages (each a documented operator with its own oracle/test coverage;
 0/1b/2b/2c are opt-in flags, off by default so existing funnels are
 unchanged):
   0. PII scrub      — `redact_pii` (privacy.py), --redact [q44 oracle]
+  0b. substring strip — `strip_repeated_spans` (substring_dedup.py),
+                      --strip-substrings K: remove exact repeated
+                      token spans of length >= K (boilerplate/mirrors)
+                      before quality is scored       [q57 oracle]
   1. quality gate   — `document_stats` (textstats.py), keep
                       quality >= --min-quality          [q26 oracle]
   1b. repetition    — `repetition_filter` (quality.py), --repetition
@@ -81,6 +85,7 @@ def curate(
     vocab_k: int = 1000,
     salt: str = "curate",
     redact: bool = False,
+    strip_substrings: int = 0,
     repetition: bool = False,
     source_cap: int = 0,
     benchmark=None,
@@ -112,11 +117,28 @@ def curate(
     from wayproblems_spark.operators.textstats import document_stats, vocab_topk
 
     stats = {"input": docs.count()}
+    tp: list = []
 
     if redact:
         from wayproblems_spark.operators.privacy import redact_pii
 
         docs = docs.withColumn("text", redact_pii(F.col("text")))
+
+    if strip_substrings:
+        from wayproblems_spark.operators.substring_dedup import (
+            repeated_spans,
+            strip_repeated_spans,
+        )
+
+        # spans feed the telemetry count AND the strip rewrite — persist
+        # the (small, spans << docs) frame; released by the caller with
+        # the rest of the tracked frames
+        spans = repeated_spans(docs, k=strip_substrings).persist()
+        tp.append(spans)
+        stats["substring_spans"] = spans.count()
+        docs = strip_repeated_spans(
+            docs, k=strip_substrings, spans=spans
+        )
 
     staged = document_stats(docs).filter(F.col("quality") >= min_quality)
     stats["after_quality"] = staged.count()
@@ -168,7 +190,6 @@ def curate(
     else:
         stats["after_sampling"] = staged.count()
 
-    tp: list = []
     pairs = minhash_lsh_pairs(
         staged, jaccard_threshold=jaccard, track_persists=tp
     )
@@ -233,6 +254,9 @@ def main(argv=None) -> int:
     ap.add_argument("--vocab-k", type=int, default=1000)
     ap.add_argument("--redact", action="store_true",
                     help="PII-scrub text before the quality gate")
+    ap.add_argument("--strip-substrings", type=int, default=0,
+                    help="strip exact repeated token spans of length "
+                         ">= K corpus-wide before quality (0 = off)")
     ap.add_argument("--repetition", action="store_true",
                     help="drop loop/spam-shaped docs (repetition_filter)")
     ap.add_argument("--source-cap", type=int, default=0,
@@ -270,6 +294,7 @@ def main(argv=None) -> int:
         jaccard=args.jaccard,
         vocab_k=args.vocab_k,
         redact=args.redact,
+        strip_substrings=args.strip_substrings,
         repetition=args.repetition,
         source_cap=args.source_cap,
         benchmark=spark.read.parquet(args.benchmark) if args.benchmark else None,

@@ -237,3 +237,44 @@ def test_curate_closing_stages(spark, tmp_path):
     ranks = sorted(r["shuffle_rank"] for r in rows)
     assert ranks == list(range(len(rows)))
     assert "sample_id" in curated.columns
+
+
+def test_curate_strip_substrings(spark):
+    """Opt-in stage 0b: the shared 8-token boilerplate tail is stripped
+    from exactly the docs that carry it, before quality is scored; other
+    docs' text is byte-identical (no-span docs pass through untouched)."""
+    from curate_corpus import curate
+
+    tail = "visit our partner network for more great content"  # 8 tokens
+    bodies = [
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+        "kilo lima mike november oscar papa quebec romeo sierra tango",
+        "uniform victor whiskey xray yankee zulu one two three four",
+        "five six seven eight nine ten eleven twelve thirteen fourteen",
+    ]
+    docs = spark.createDataFrame(
+        [
+            (0, bodies[0] + " " + tail, "en"),
+            (1, bodies[1] + " " + tail, "en"),
+            (2, bodies[2], "en"),
+            (3, bodies[3], "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    curated, decisions, vocab, stats, (staged, tp) = curate(
+        spark, docs, min_quality=0.0, jaccard=0.8, vocab_k=50,
+        strip_substrings=8,
+    )
+    texts = {r["doc_id"]: r["text"] for r in curated.select("doc_id", "text").collect()}
+    for fr in tp:
+        fr.unpersist()
+    staged.unpersist()
+
+    # one span per tailed doc, none elsewhere
+    assert stats["substring_spans"] == 2
+    assert stats["after_quality"] == 4
+    # tailed docs lost exactly the tail; others byte-identical
+    assert texts[0] == bodies[0]
+    assert texts[1] == bodies[1]
+    assert texts[2] == bodies[2]
+    assert texts[3] == bodies[3]
