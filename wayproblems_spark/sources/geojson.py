@@ -1,0 +1,125 @@
+"""GeoJSON polygon-layer source → the engine's G4 polygon frame.
+
+Admin/landuse boundary layers ship as GeoJSON FeatureCollections (the
+reference's polygon inputs are the same class of data, delivered to it
+as OGR layers). This reader produces the exact frame shape
+`point_in_polygon` / `polygon_intersect_join` / `zonal_stats` consume:
+
+    (poly_id long, kind string,
+     ring  array<struct<lon:double,lat:double>>,
+     holes array<array<struct<lon:double,lat:double>>>)
+
+Physical shape: polygon layers are the SMALL side of every join in this
+engine (10^2..10^5 features), so each file is read whole
+(`spark.read.text(wholetext=True)` — file-parallel across a directory
+of layer files) and parsed inside one `mapInPandas` pass; no per-row
+Python ever touches the big point/page side. Spark's native JSON reader
+is deliberately not used: Polygon vs MultiPolygon coordinates differ in
+nesting depth (3 vs 4), which breaks uniform schema inference, while an
+explicit per-feature parse handles both and keeps provenance.
+
+Determinism: `poly_id` is the feature's numeric `id` (top-level or in
+properties) when present, else a stable 63-bit value derived from the
+md5 of the feature's canonical JSON — re-reading the same layer yields
+identical ids regardless of partitioning. MultiPolygon features emit
+one row per part with `poly_id = base * 4096 + part` (parts per feature
+capped at 4096, asserted), so every ring set keeps the unique-id
+contract the ray-cast aggregate requires.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+from pyspark.sql import DataFrame
+
+POLY_DDL = (
+    "poly_id long, kind string, "
+    "ring array<struct<lon:double,lat:double>>, "
+    "holes array<array<struct<lon:double,lat:double>>>"
+)
+
+_MAX_PARTS = 4096
+
+
+def _feature_id(feat: dict) -> int:
+    fid = feat.get("id")
+    if fid is None:
+        fid = (feat.get("properties") or {}).get("id")
+    if isinstance(fid, bool):
+        fid = None
+    if isinstance(fid, (int, float)) and float(fid).is_integer():
+        return int(fid)
+    if isinstance(fid, str):
+        try:
+            return int(fid)
+        except ValueError:
+            pass
+    canon = json.dumps(feat, sort_keys=True, separators=(",", ":"))
+    digest = hashlib.md5(canon.encode("utf-8")).digest()
+    return int.from_bytes(digest[:8], "big") >> 1  # 63-bit, non-negative
+
+
+def _ring_rows(ring):
+    return [{"lon": float(p[0]), "lat": float(p[1])} for p in ring]
+
+
+def _feature_rows(feat: dict, kind_property: str):
+    geom = feat.get("geometry") or {}
+    gtype = geom.get("type")
+    props = feat.get("properties") or {}
+    kind = props.get(kind_property)
+    kind = str(kind) if kind is not None else (gtype or "unknown")
+    base = _feature_id(feat)
+    if gtype == "Polygon":
+        parts = [geom.get("coordinates") or []]
+    elif gtype == "MultiPolygon":
+        parts = geom.get("coordinates") or []
+    else:  # points/lines/null geometries are not polygon-layer rows
+        return
+    if len(parts) > _MAX_PARTS:
+        raise ValueError(
+            f"MultiPolygon with {len(parts)} parts exceeds the "
+            f"{_MAX_PARTS}-part poly_id packing"
+        )
+    multi = gtype == "MultiPolygon"
+    for part_idx, rings in enumerate(parts):
+        if not rings:
+            continue
+        yield {
+            "poly_id": base * _MAX_PARTS + part_idx if multi else base,
+            "kind": kind,
+            "ring": _ring_rows(rings[0]),
+            "holes": [_ring_rows(h) for h in rings[1:]],
+        }
+
+
+def read_geojson_polygons(
+    spark, path: str, kind_property: str = "kind"
+) -> DataFrame:
+    """Read one file or a directory of `.geojson`/`.json` layer files
+    into the engine's polygon frame. `kind_property` names the property
+    copied into `kind` (falls back to the geometry type). Non-polygonal
+    features are skipped."""
+    import pandas as pd
+
+    raw = spark.read.text(path, wholetext=True)
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for doc in pdf["value"]:
+                data = json.loads(doc)
+                feats = (
+                    data.get("features", [])
+                    if data.get("type") == "FeatureCollection"
+                    else [data]
+                )
+                for feat in feats:
+                    out.extend(_feature_rows(feat, kind_property))
+            yield pd.DataFrame(
+                out, columns=["poly_id", "kind", "ring", "holes"]
+            )
+
+    return raw.mapInPandas(gen, POLY_DDL)
