@@ -60,6 +60,9 @@ frames["q39 spatial_range_join (grid equi-join, chord filter)"] = E.q39_spatial_
 frames["q51 unigram perplexity (broadcast LM join, one rollup shuffle)"] = E.q51_unigram_ppl_sql(spark, SF)
 frames["q53 mix_sources (literal rates, codegen CASE + explode)"] = E.q53_mix_sources_sql(spark, SF)
 frames["q54 shuffle_corpus (bucket window, NO SinglePartition)"] = E.q54_shuffle_rank_sql(spark, SF)
+frames["q55 polygon overlay (cell co-bucket candidates + broadcast edge tests)"] = E.q55_overlay_sql(spark, SF)
+frames["q56 zonal_stats (G4 ray cast + ONE poly-count-sized aggregate)"] = E.q56_zonal_stats_sql(spark, SF)
+frames["q57 repeated_spans (gram count + covered join + per-doc island window)"] = E.q57_repeated_spans_sql(spark, SF)
 
 out = ["# Plan audit — headline operators (`.explain(\"formatted\")`, local[8], sf0.01)\n",
        "Regenerate with `python tools/gen_plans.py`;",
