@@ -1099,7 +1099,7 @@ ORACLE = {
                CAST(SUM(CAST(p.val AS DECIMAL(38,6))) AS DOUBLE) AS val_sum,
                MIN(p.val) AS val_min,
                MAX(p.val) AS val_max,
-               CAST(SUM(CAST(p.val AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS val_avg
+               CAST(SUM(CAST(p.val AS DECIMAL(38,6))) AS DOUBLE) / COUNT(p.val) AS val_avg
         FROM hit h JOIN pts p USING (point_id)
         GROUP BY h.poly_id, h.kind
     """,

@@ -125,6 +125,10 @@ def curate(
         docs = docs.withColumn("text", redact_pii(F.col("text")))
 
     if strip_substrings:
+        if strip_substrings < 1:
+            raise ValueError(
+                f"strip_substrings must be >= 1, got {strip_substrings}"
+            )
         from wayproblems_spark.operators.substring_dedup import (
             repeated_spans,
             strip_repeated_spans,

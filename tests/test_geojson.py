@@ -76,18 +76,22 @@ def _write(tmp_path) -> str:
     return str(p)
 
 
+MULTI9 = (1 << 62) | (9 << 12)  # MultiPolygon id 9, part 0 (disjoint range)
+
+
 def test_read_geojson_polygons(spark, tmp_path):
     df = read_geojson_polygons(spark, _write(tmp_path))
     rows = {r["poly_id"]: r for r in df.collect()}
-    # 7, 42, anon-hash, 9*4096, 9*4096+1 — the Point is gone
+    # 7, 42, anon-hash, multi part 0, multi part 1 — the Point is gone
     assert len(rows) == 5
     assert 7 in rows and rows[7]["kind"] == "admin"
     assert len(rows[7]["holes"]) == 1
     assert 42 in rows and rows[42]["kind"] == "landuse"
-    assert 9 * 4096 in rows and 9 * 4096 + 1 in rows
-    assert rows[9 * 4096 + 1]["holes"] and rows[9 * 4096]["holes"] == []
-    anon = [pid for pid in rows if pid not in (7, 42, 9 * 4096, 9 * 4096 + 1)]
-    assert len(anon) == 1 and anon[0] >= 0
+    assert MULTI9 in rows and MULTI9 + 1 in rows
+    assert rows[MULTI9 + 1]["holes"] and rows[MULTI9]["holes"] == []
+    anon = [pid for pid in rows if pid not in (7, 42, MULTI9, MULTI9 + 1)]
+    # hash-fallback Polygon ids are 61-bit: below the MultiPolygon range
+    assert len(anon) == 1 and 0 <= anon[0] < (1 << 62)
     ring7 = rows[7]["ring"]
     assert ring7[0]["lon"] == 6.0 and ring7[0]["lat"] == 6.0
 
@@ -123,5 +127,56 @@ def test_geojson_feeds_point_in_polygon(spark, tmp_path):
     assert (0, 7) in hits
     assert not any(p == 1 for p, _ in hits)
     assert (2, 42) in hits
-    assert (3, 9 * 4096 + 1) in hits
+    assert (3, MULTI9 + 1) in hits
     assert not any(p == 4 for p, _ in hits)
+
+
+def test_geojson_anonymous_multipolygon_and_bare_geometry(spark, tmp_path):
+    """Regression: md5-fallback MultiPolygon ids must pack inside int64
+    (was an Arrow OverflowError), and a bare-Geometry root document is a
+    valid polygon layer, not a silent empty frame."""
+    anon_multi = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {"kind": "forest"},
+                "geometry": {
+                    "type": "MultiPolygon",
+                    "coordinates": [[_sq(1.0, 1.0, 0.5)], [_sq(3.0, 1.0, 0.5)]],
+                },
+            }
+        ],
+    }
+    p1 = tmp_path / "anon_multi.geojson"
+    p1.write_text(json.dumps(anon_multi))
+    rows = read_geojson_polygons(spark, str(p1)).collect()
+    assert len(rows) == 2
+    ids = sorted(r["poly_id"] for r in rows)
+    assert all((1 << 62) <= i < (1 << 63) for i in ids)
+    assert ids[1] == ids[0] + 1  # same base, successive parts
+
+    bare = {"type": "Polygon", "coordinates": [_sq(5.0, 5.0, 1.0)]}
+    p2 = tmp_path / "bare.geojson"
+    p2.write_text(json.dumps(bare))
+    rows2 = read_geojson_polygons(spark, str(p2)).collect()
+    assert len(rows2) == 1 and rows2[0]["kind"] == "Polygon"
+    assert 0 <= rows2[0]["poly_id"] < (1 << 62)
+
+
+def test_geojson_out_of_range_id_raises(spark, tmp_path):
+    import pytest
+
+    bad = {
+        "type": "Feature",
+        "id": 1 << 55,  # too big for the 50-bit MultiPolygon base
+        "properties": {},
+        "geometry": {
+            "type": "MultiPolygon",
+            "coordinates": [[_sq(1.0, 1.0, 0.5)]],
+        },
+    }
+    p = tmp_path / "bad.geojson"
+    p.write_text(json.dumps(bad))
+    with pytest.raises(Exception, match="packable range"):
+        read_geojson_polygons(spark, str(p)).collect()

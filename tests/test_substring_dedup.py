@@ -49,13 +49,6 @@ def _ref_strip(docs: dict[int, str], k: int) -> dict[int, str]:
     return out
 
 
-# The merge rule in the reference: successive covered starts p1 < p2 merge
-# iff p2 <= p1 + k (windows overlap or are adjacent) — expressed above as
-# p - last_start <= k via the third slot.
-def _fix_ref_merge():
-    pass
-
-
 BANNER = "subscribe to our newsletter for weekly updates and offers"  # 9 toks
 PHRASE = "the quick brown fox jumps over the lazy dog"
 

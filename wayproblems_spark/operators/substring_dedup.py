@@ -71,6 +71,8 @@ def repeated_spans(
     with no repeated span are absent. ``hash_grams=True`` keys the
     duplicate-detection shuffle by xxhash64(gram) instead of the gram
     string (64-bit collision risk accepted for corpus scale)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     grams = _grams(docs, k, id_col, text_col)
     if hash_grams:
         grams = grams.select(id_col, "pos", F.xxhash64("gram").alias("gram"))

@@ -60,12 +60,19 @@ def zonal_stats(
         samples=samples,
         prebuilt=prebuilt,
     )
-    joined = hits.join(points, id_col)
+    # join back only what the aggregate needs — a points frame carrying
+    # its own `kind`/`poly_id` columns must not collide with the hit
+    # frame's (the G4 contract reserves those names on the polygon side)
+    payload = points.select(id_col, *value_cols)
+    joined = hits.join(payload, id_col)
     aggs = [F.count(F.lit(1)).alias("n_points")]
     for v in value_cols:
         dec = F.col(v).cast("decimal(38,6)")
         aggs += [
             F.sum(dec).alias(f"{v}_sum"),
+            # avg must divide by the NON-NULL count (SQL AVG semantics);
+            # n_points counts every contained point regardless
+            F.count(F.col(v)).alias(f"_{v}_cnt"),
             F.min(F.col(v)).alias(f"{v}_min"),
             F.max(F.col(v)).alias(f"{v}_max"),
         ]
@@ -73,6 +80,6 @@ def zonal_stats(
     for v in value_cols:
         out = out.withColumn(
             f"{v}_avg",
-            F.col(f"{v}_sum").cast("double") / F.col("n_points"),
-        )
+            F.col(f"{v}_sum").cast("double") / F.col(f"_{v}_cnt"),
+        ).drop(f"_{v}_cnt")
     return out
