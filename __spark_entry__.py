@@ -1143,6 +1143,39 @@ ORACLE = {
                CAST(MAX(pos) + 8 AS BIGINT) AS span_end
         FROM i GROUP BY doc_id, island
     """,
+
+    # Areal weights — closed-form rectangle-overlap recompute: the
+    # operator's S-H clip of an axis-aligned rect IS the
+    # LEAST/GREATEST width product, exactly, on this lattice.
+    "q58_areal_weights_sql": """
+        WITH r AS (
+          SELECT event_id AS poly_id,
+                 ((event_id // 89) % 30) * CAST(2.5 AS DOUBLE) AS x1,
+                 ((event_id // 89) % 30) * CAST(2.5 AS DOUBLE)
+                   + CAST(0.5 AS DOUBLE)
+                   + ((event_id // 89) % 4) * CAST(0.75 AS DOUBLE) AS x2,
+                 (((event_id // 89) // 30) % 25) * CAST(2.5 AS DOUBLE)
+                   + ((event_id // 89) % 8) * CAST(0.125 AS DOUBLE) AS y1,
+                 (((event_id // 89) // 30) % 25) * CAST(2.5 AS DOUBLE)
+                   + ((event_id // 89) % 8) * CAST(0.125 AS DOUBLE)
+                   + CAST(0.25 AS DOUBLE)
+                   + ((event_id // 89) % 5) * CAST(0.625 AS DOUBLE) AS y2
+          FROM events WHERE event_id % 89 = 0),
+        cells AS (
+          SELECT poly_id, x1, x2, y1, y2, i.i AS cell_x, j.j AS cell_y
+          FROM r,
+               UNNEST(range(CAST(FLOOR(x1) AS BIGINT), CAST(CEIL(x2) AS BIGINT))) AS i(i),
+               UNNEST(range(CAST(FLOOR(y1) AS BIGINT), CAST(CEIL(y2) AS BIGINT))) AS j(j))
+        SELECT poly_id, 'rect' AS kind, cell_x, cell_y,
+               (LEAST(x2, cell_x + 1) - GREATEST(x1, cell_x))
+               * (LEAST(y2, cell_y + 1) - GREATEST(y1, cell_y)) AS area,
+               (LEAST(x2, cell_x + 1) - GREATEST(x1, cell_x))
+               * (LEAST(y2, cell_y + 1) - GREATEST(y1, cell_y))
+               / ((x2 - x1) * (y2 - y1)) AS frac
+        FROM cells
+        WHERE (LEAST(x2, cell_x + 1) - GREATEST(x1, cell_x)) > 0
+          AND (LEAST(y2, cell_y + 1) - GREATEST(y1, cell_y)) > 0
+    """,
     # PQ encode — per-subspace nearest-codeword argmin recomputed with
     # nested list_transform; list_indexof(d, list_min(d)) is first-match,
     # the numpy argmin tie rule. (x)*(x) both sides, never pow().
@@ -3367,6 +3400,44 @@ def q57_repeated_spans_sql(spark, sf_dir):
     )
 
 
+
+def q58_areal_weights_sql(spark, sf_dir):
+    """Areal interpolation weights (operators/areal.py — Sutherland-
+    Hodgman clip + shoelace per graticule cell) over exact-binary
+    lattice RECTANGLES, where the clip degenerates to the closed-form
+    rectangle-overlap product: every S-H intersection coordinate and
+    shoelace term stays exact in doubles (coords on a 2^-3-degree grid,
+    products < 2^25 grain steps), so area/frac match DuckDB's
+    LEAST/GREATEST recompute bit-for-bit with no rounding."""
+    from wayproblems_spark.operators.areal import polygon_grid_weights
+
+    ev = _t(spark, sf_dir, "events")
+    r = ev.filter("event_id % 89 = 0").selectExpr(
+        "event_id AS poly_id",
+        "CAST((event_id DIV 89) % 30 AS DOUBLE) * 2.5 AS x1",
+        "CAST((event_id DIV 89) % 30 AS DOUBLE) * 2.5 + 0.5"
+        " + CAST((event_id DIV 89) % 4 AS DOUBLE) * 0.75 AS x2",
+        "CAST(((event_id DIV 89) DIV 30) % 25 AS DOUBLE) * 2.5"
+        " + CAST((event_id DIV 89) % 8 AS DOUBLE) * 0.125 AS y1",
+        "CAST(((event_id DIV 89) DIV 30) % 25 AS DOUBLE) * 2.5"
+        " + CAST((event_id DIV 89) % 8 AS DOUBLE) * 0.125"
+        " + 0.25 + CAST((event_id DIV 89) % 5 AS DOUBLE) * 0.625 AS y2",
+    )
+
+    def V(x, y):
+        return F.struct(x.alias("lon"), y.alias("lat"))
+
+    x1, x2, y1, y2 = F.col("x1"), F.col("x2"), F.col("y1"), F.col("y2")
+    polys = r.select(
+        "poly_id",
+        F.lit("rect").alias("kind"),
+        F.array(
+            V(x1, y1), V(x2, y1), V(x2, y2), V(x1, y2), V(x1, y1)
+        ).alias("ring"),
+    )
+    return polygon_grid_weights(spark, polys, pitch=1.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3426,6 +3497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_overlay_sql": q55_overlay_sql,
         "q56_zonal_stats_sql": q56_zonal_stats_sql,
         "q57_repeated_spans_sql": q57_repeated_spans_sql,
+        "q58_areal_weights_sql": q58_areal_weights_sql,
         "r01_wayproblems_problems": r01_wayproblems_problems,
         "r02_wayproblems_stdout": r02_wayproblems_stdout,
         "r03_tile_counts": r03_tile_counts,

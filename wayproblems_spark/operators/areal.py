@@ -1,0 +1,176 @@
+"""Areal interpolation — polygon → grid-cell overlap weights.
+
+The raster←vector half of the tiling story: spread a polygon layer's
+attributes onto a regular grid proportionally to overlap AREA (areal
+weighting — census-to-grid reaggregation, admin-rate rasterization),
+where `tiles.py` rasterizes point counts. For every polygon and every
+cell of a lon/lat graticule at `pitch` degrees this computes the exact
+clipped overlap area and its fraction of the polygon's area.
+
+Method: Sutherland–Hodgman clip of each ring against the (convex,
+axis-aligned) cell rectangle, shoelace area of the clipped ring; holes
+subtract (clip(outer) − Σ clip(holes) — valid because holes lie inside
+the outer ring). S-H with a CONCAVE subject can emit zero-width bridge
+edges when the true clip is multi-part; those contribute zero area, so
+areas — the only thing consumed here — are exact anyway (documented
+standard caveat; the clipped ring is not returned).
+
+Physical shape: one `mapInPandas` pass — each polygon visits only its
+bbox/pitch candidate cells, all arithmetic numpy, no shuffle at all
+until the optional value-spreading aggregate (`areal_interpolate`:
+broadcast-join values, groupBy cell — cardinality = touched cells).
+Polygons partition freely; a mega-polygon spanning many cells is one
+task's loop, split upstream with adaptive_cell_split if it ever
+dominates (same skew stance as G7).
+
+Exactness: on exact-binary inputs (rect fixtures, lattice coords) every
+S-H intersection coordinate and shoelace term stays exact in doubles,
+so areas equal the closed-form rectangle-overlap products bit-for-bit —
+which is what the q58 oracle checks against DuckDB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["polygon_grid_weights", "areal_interpolate"]
+
+_OUT_DDL = (
+    "poly_id long, kind string, cell_x long, cell_y long, "
+    "area double, frac double"
+)
+
+
+def _shoelace(xs: np.ndarray, ys: np.ndarray) -> float:
+    """|signed area| of a closed ring (first==last vertex)."""
+    if len(xs) < 4:
+        return 0.0
+    return abs(float(np.sum(xs[:-1] * ys[1:] - xs[1:] * ys[:-1]))) * 0.5
+
+
+def _clip_halfplane(xs, ys, axis: int, bound: float, keep_leq: bool):
+    """One S-H stage: keep the side axis<=bound (or >=). Input/output
+    rings are closed; returns (xs, ys) closed, possibly length 0."""
+    if len(xs) < 4:
+        return xs[:0], ys[:0]
+    pts = np.stack([xs[:-1], ys[:-1]], axis=1)
+    n = len(pts)
+    out_x, out_y = [], []
+    vals = pts[:, axis]
+    inside = vals <= bound if keep_leq else vals >= bound
+    for i in range(n):
+        j = (i + 1) % n
+        a_in, b_in = inside[i], inside[j]
+        ax, ay = pts[i]
+        bx, by = pts[j]
+        if a_in:
+            out_x.append(ax)
+            out_y.append(ay)
+        if a_in != b_in:
+            av, bv = vals[i], vals[j]
+            t = (bound - av) / (bv - av)
+            out_x.append(ax + t * (bx - ax))
+            out_y.append(ay + t * (by - ay))
+    if not out_x:
+        return np.empty(0), np.empty(0)
+    out_x.append(out_x[0])
+    out_y.append(out_y[0])
+    return np.asarray(out_x), np.asarray(out_y)
+
+
+def _clip_cell_area(xs, ys, x0, x1, y0, y1) -> float:
+    cx, cy = _clip_halfplane(xs, ys, 0, x0, keep_leq=False)
+    cx, cy = _clip_halfplane(cx, cy, 0, x1, keep_leq=True)
+    cx, cy = _clip_halfplane(cx, cy, 1, y0, keep_leq=False)
+    cx, cy = _clip_halfplane(cx, cy, 1, y1, keep_leq=True)
+    return _shoelace(cx, cy)
+
+
+def _ring_arrays(ring):
+    xs = np.asarray([p["lon"] for p in ring], dtype=np.float64)
+    ys = np.asarray([p["lat"] for p in ring], dtype=np.float64)
+    return xs, ys
+
+
+def polygon_grid_weights(
+    spark,
+    polys: DataFrame,
+    pitch: float = 1.0,
+    min_frac: float = 0.0,
+) -> DataFrame:
+    """(poly_id, kind, cell_x, cell_y, area, frac) — one row per grid
+    cell a polygon overlaps with positive area. Cell (i, j) spans
+    [i·pitch, (i+1)·pitch) × [j·pitch, (j+1)·pitch) in lon/lat degrees;
+    `frac` = cell overlap area / polygon area (holes subtracted), so a
+    polygon's fracs sum to 1 (exactly, up to float addition). Rows with
+    frac < `min_frac` are dropped (sliver control — dropped mass is the
+    caller's accepted error, mirror of the LSH drop counters).
+
+    Zero-area polygons emit nothing. The polys frame is the G4 shape
+    (poly_id, kind, ring[, holes])."""
+    has_holes = "holes" in polys.columns
+    cols = ["poly_id", "kind", "ring"] + (["holes"] if has_holes else [])
+    src = polys.select(*cols)
+
+    def gen(batches):
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("poly_id", "kind", "cell_x", "cell_y", "area", "frac")}
+            for row in pdf.itertuples(index=False):
+                rings = [_ring_arrays(row.ring)]
+                if has_holes and row.holes is not None:
+                    rings += [_ring_arrays(h) for h in row.holes]
+                total = _shoelace(*rings[0]) - sum(
+                    _shoelace(*r) for r in rings[1:]
+                )
+                if total <= 0.0:
+                    continue
+                xs, ys = rings[0]
+                i0 = int(np.floor(xs.min() / pitch))
+                i1 = int(np.ceil(xs.max() / pitch))
+                j0 = int(np.floor(ys.min() / pitch))
+                j1 = int(np.ceil(ys.max() / pitch))
+                for i in range(i0, i1):
+                    for j in range(j0, j1):
+                        a = _clip_cell_area(
+                            xs, ys, i * pitch, (i + 1) * pitch,
+                            j * pitch, (j + 1) * pitch,
+                        )
+                        for hx, hy in rings[1:]:
+                            a -= _clip_cell_area(
+                                hx, hy, i * pitch, (i + 1) * pitch,
+                                j * pitch, (j + 1) * pitch,
+                            )
+                        if a <= 0.0:
+                            continue
+                        frac = a / total
+                        if frac < min_frac:
+                            continue
+                        out["poly_id"].append(row.poly_id)
+                        out["kind"].append(row.kind)
+                        out["cell_x"].append(i)
+                        out["cell_y"].append(j)
+                        out["area"].append(a)
+                        out["frac"].append(frac)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(gen, _OUT_DDL)
+
+
+def areal_interpolate(
+    weights: DataFrame,
+    values: DataFrame,
+    value_col: str = "value",
+    id_col: str = "poly_id",
+) -> DataFrame:
+    """(cell_x, cell_y, <value_col>) — spread each polygon's value over
+    its cells by `frac` and sum per cell (the areal-weighting estimator).
+    `values` is small (one row per polygon) — broadcast join; the only
+    shuffle is the cell-cardinality aggregate."""
+    spread = weights.join(F.broadcast(values.select(id_col, value_col)), id_col)
+    return spread.groupBy("cell_x", "cell_y").agg(
+        F.sum(F.col("frac") * F.col(value_col)).alias(value_col)
+    )
