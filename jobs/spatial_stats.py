@@ -18,11 +18,18 @@ rollup artifacts:
                     (only when a second layer is given) [q55 oracle]
   out/stats.json    row counts per artifact
 
-The polygon index is built ONCE (`build_pip_index`, persisted) and
-shared by the assignment and zonal passes — the prebuilt-index stance
-that fixed the r4 pip scaling leg; overlay builds its own per-layer
-indexes the same way. Points never shuffle until the zonal aggregate,
-whose cardinality is the polygon count.
+The polygon index is built ONCE (`build_pip_index`, persisted) and the
+G4 containment join runs ONCE: the zonal aggregate reuses the written
+assignments (`zonal_stats(hits=)`) instead of re-running the ray cast —
+the prebuilt-index stance that fixed the r4 pip scaling leg, extended
+to the result; overlay builds its own per-layer indexes the same way.
+Points never shuffle until the zonal aggregate, whose cardinality is
+the polygon count.
+
+Path contract: parquet artifacts go through Spark and accept any
+Hadoop filesystem; `stats.json` is written driver-local (same contract
+as curate_corpus / the dedup-stream state dirs) — give `--out` a
+driver-visible POSIX/DBFS-fuse path.
 """
 
 from __future__ import annotations
@@ -87,11 +94,15 @@ def main(argv=None) -> int:
     assignments.write.mode("overwrite").parquet(
         os.path.join(args.out, "assignments")
     )
-    stats["assignments"] = spark.read.parquet(
-        os.path.join(args.out, "assignments")
-    ).count()
+    # the containment join is the job's dominant cost — re-read the
+    # written assignments and feed them to zonal via hits= so G4 runs
+    # exactly once over the point table
+    hits = spark.read.parquet(os.path.join(args.out, "assignments"))
+    stats["assignments"] = hits.count()
 
-    zonal = zonal_stats(spark, points, None, value_cols=value_cols, **kw)
+    zonal = zonal_stats(
+        spark, points, None, value_cols=value_cols, hits=hits, **kw
+    )
     zonal.write.mode("overwrite").parquet(os.path.join(args.out, "zonal"))
     stats["zonal"] = spark.read.parquet(os.path.join(args.out, "zonal")).count()
     unpersist_pip_index(index)

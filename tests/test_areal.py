@@ -88,3 +88,21 @@ def test_areal_interpolate(spark):
     }
     # poly 1 spreads 5/5 over cells 0,1; poly 2 spreads 20/20 over 1,2
     assert out == {(0, 0): 5.0, (1, 0): 25.0, (2, 0): 20.0}
+
+
+def test_areal_antimeridian(spark):
+    """A wrap rect (raw lons 179 / -179) clips in the shifted frame and
+    its cells map back to the global graticule: lon columns 179 and
+    -180, one unit cell each; a non-divisible pitch raises."""
+    import pytest
+
+    wrap = [(1, _ring([(179.0, 0.0), (-179.0, 0.0), (-179.0, 1.0),
+                       (179.0, 1.0), (179.0, 0.0)]))]
+    df = _poly_df(spark, wrap)
+    got = _collect(polygon_grid_weights(spark, df, pitch=1.0))
+    assert got == {
+        (1, 179, 0): (1.0, 0.5),
+        (1, -180, 0): (1.0, 0.5),
+    }
+    with pytest.raises(Exception, match="360 % pitch"):
+        polygon_grid_weights(spark, df, pitch=0.7).collect()

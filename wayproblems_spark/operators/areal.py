@@ -16,12 +16,23 @@ areas — the only thing consumed here — are exact anyway (documented
 standard caveat; the clipped ring is not returned).
 
 Physical shape: one `mapInPandas` pass — each polygon visits only its
-bbox/pitch candidate cells, all arithmetic numpy, no shuffle at all
-until the optional value-spreading aggregate (`areal_interpolate`:
-broadcast-join values, groupBy cell — cardinality = touched cells).
-Polygons partition freely; a mega-polygon spanning many cells is one
-task's loop, split upstream with adaptive_cell_split if it ever
-dominates (same skew stance as G7).
+bbox/pitch candidate cells (per-polygon Python over numpy coordinate
+arrays; the polygon layer is the SMALL side, the engine's pip/overlay
+stance — the big point/page side never sees this code). Clipping is
+column-strip staged: each bbox column clips the ring ONCE against its
+two x half-planes, and every cell in the column clips only that
+reduced strip — O(columns·verts + cells·strip_verts), not
+O(cells·verts). No shuffle at all until the optional value-spreading
+aggregate (`areal_interpolate`: broadcast-join values, groupBy cell —
+cardinality = touched cells). Polygons partition freely; a
+mega-polygon spanning many cells is one task's loop, split upstream
+with adaptive_cell_split if it ever dominates (same skew stance as G7).
+
+Antimeridian: a ring whose lon span exceeds 180° is treated as
+wrapping (the `_normalize_rings` convention): its lons shift to
+[0, 360) for clipping and the emitted `cell_x` indices are mapped back
+to the global grid (requires 360 to be an integer number of cells —
+raised otherwise), so wrap and non-wrap polygons index one graticule.
 
 Exactness: on exact-binary inputs (rect fixtures, lattice coords) every
 S-H intersection coordinate and shoelace term stays exact in doubles,
@@ -81,14 +92,6 @@ def _clip_halfplane(xs, ys, axis: int, bound: float, keep_leq: bool):
     return np.asarray(out_x), np.asarray(out_y)
 
 
-def _clip_cell_area(xs, ys, x0, x1, y0, y1) -> float:
-    cx, cy = _clip_halfplane(xs, ys, 0, x0, keep_leq=False)
-    cx, cy = _clip_halfplane(cx, cy, 0, x1, keep_leq=True)
-    cx, cy = _clip_halfplane(cx, cy, 1, y0, keep_leq=False)
-    cx, cy = _clip_halfplane(cx, cy, 1, y1, keep_leq=True)
-    return _shoelace(cx, cy)
-
-
 def _ring_arrays(ring):
     xs = np.asarray([p["lon"] for p in ring], dtype=np.float64)
     ys = np.asarray([p["lat"] for p in ring], dtype=np.float64)
@@ -114,6 +117,9 @@ def polygon_grid_weights(
     has_holes = "holes" in polys.columns
     cols = ["poly_id", "kind", "ring"] + (["holes"] if has_holes else [])
     src = polys.select(*cols)
+    cells_per_turn = 360.0 / pitch
+    wrap_pitch_ok = abs(cells_per_turn - round(cells_per_turn)) < 1e-9
+    turn_cells = int(round(cells_per_turn))
 
     def gen(batches):
         for pdf in batches:
@@ -123,6 +129,19 @@ def polygon_grid_weights(
                 rings = [_ring_arrays(row.ring)]
                 if has_holes and row.holes is not None:
                     rings += [_ring_arrays(h) for h in row.holes]
+                # wrap-shift BEFORE any area: the raw ring of an
+                # antimeridian polygon traces the 360°-complement shape
+                all_x = np.concatenate([r[0] for r in rings])
+                wrap = float(all_x.max() - all_x.min()) > 180.0
+                if wrap:
+                    if not wrap_pitch_ok:
+                        raise ValueError(
+                            f"antimeridian polygon {row.poly_id} needs "
+                            f"360 % pitch == 0 (pitch={pitch})"
+                        )
+                    rings = [
+                        (np.where(x < 0, x + 360.0, x), y) for x, y in rings
+                    ]
                 total = _shoelace(*rings[0]) - sum(
                     _shoelace(*r) for r in rings[1:]
                 )
@@ -134,16 +153,33 @@ def polygon_grid_weights(
                 j0 = int(np.floor(ys.min() / pitch))
                 j1 = int(np.ceil(ys.max() / pitch))
                 for i in range(i0, i1):
-                    for j in range(j0, j1):
-                        a = _clip_cell_area(
-                            xs, ys, i * pitch, (i + 1) * pitch,
-                            j * pitch, (j + 1) * pitch,
+                    # clip EVERY ring to the column strip once; cells in
+                    # the column then clip only the reduced strips —
+                    # same half-plane sequence (x0, x1, y0, y1) as a
+                    # direct per-cell clip, so areas are bit-identical
+                    strips = []
+                    for rx, ry in rings:
+                        sx, sy = _clip_halfplane(
+                            rx, ry, 0, i * pitch, keep_leq=False
                         )
-                        for hx, hy in rings[1:]:
-                            a -= _clip_cell_area(
-                                hx, hy, i * pitch, (i + 1) * pitch,
-                                j * pitch, (j + 1) * pitch,
+                        strips.append(
+                            _clip_halfplane(sx, sy, 0, (i + 1) * pitch,
+                                            keep_leq=True)
+                        )
+                    if len(strips[0][0]) < 4:
+                        continue
+                    gi = i - turn_cells if wrap and i * pitch >= 180.0 else i
+                    for j in range(j0, j1):
+                        a = 0.0
+                        for ridx, (sx, sy) in enumerate(strips):
+                            cx, cy = _clip_halfplane(
+                                sx, sy, 1, j * pitch, keep_leq=False
                             )
+                            cx, cy = _clip_halfplane(
+                                cx, cy, 1, (j + 1) * pitch, keep_leq=True
+                            )
+                            piece = _shoelace(cx, cy)
+                            a += piece if ridx == 0 else -piece
                         if a <= 0.0:
                             continue
                         frac = a / total
@@ -151,7 +187,7 @@ def polygon_grid_weights(
                             continue
                         out["poly_id"].append(row.poly_id)
                         out["kind"].append(row.kind)
-                        out["cell_x"].append(i)
+                        out["cell_x"].append(gi)
                         out["cell_y"].append(j)
                         out["area"].append(a)
                         out["frac"].append(frac)

@@ -27,7 +27,57 @@ from pyspark.sql import functions as F
 
 from .pip import point_in_polygon
 
-__all__ = ["zonal_stats"]
+__all__ = ["zonal_stats", "zonal_partials"]
+
+
+def zonal_partials(
+    spark,
+    points: DataFrame,
+    polys: DataFrame | None,
+    value_cols: tuple[str, ...] = (),
+    level: int = 10,
+    id_col: str = "point_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    samples: int | None = None,
+    prebuilt=None,
+    hits: DataFrame | None = None,
+) -> DataFrame:
+    """(poly_id, kind, n_points[, <v>_sum, <v>_cnt, <v>_min, <v>_max ...])
+    — the COMBINABLE partial form of :func:`zonal_stats`: every final
+    statistic is a fold of these (Σn, Σsum exact in decimal, Σcnt,
+    min-of-mins, max-of-maxes), which is what the streaming rollup
+    (streaming/zonal_stream.py) writes per micro-batch. Pass ``hits=``
+    (a precomputed `point_in_polygon` result) to skip the containment
+    join when the caller already materialized it."""
+    if hits is None:
+        hits = point_in_polygon(
+            spark,
+            points,
+            polys,
+            level=level,
+            id_col=id_col,
+            lat_col=lat_col,
+            lon_col=lon_col,
+            samples=samples,
+            prebuilt=prebuilt,
+        )
+    # join back only what the aggregate needs — a points frame carrying
+    # its own `kind`/`poly_id` columns must not collide with the hit
+    # frame's (the G4 contract reserves those names on the polygon side)
+    payload = points.select(id_col, *value_cols)
+    joined = hits.join(payload, id_col)
+    aggs = [F.count(F.lit(1)).alias("n_points")]
+    for v in value_cols:
+        aggs += [
+            F.sum(F.col(v).cast("decimal(38,6)")).alias(f"{v}_sum"),
+            # the NON-NULL count — avg divides by this (SQL AVG
+            # semantics); n_points counts every contained point
+            F.count(F.col(v)).alias(f"{v}_cnt"),
+            F.min(F.col(v)).alias(f"{v}_min"),
+            F.max(F.col(v)).alias(f"{v}_max"),
+        ]
+    return joined.groupBy("poly_id", "kind").agg(*aggs)
 
 
 def zonal_stats(
@@ -41,6 +91,7 @@ def zonal_stats(
     lon_col: str = "lon",
     samples: int | None = None,
     prebuilt=None,
+    hits: DataFrame | None = None,
 ) -> DataFrame:
     """(poly_id, kind, n_points[, <v>_sum, <v>_min, <v>_max, <v>_avg ...]).
 
@@ -48,38 +99,16 @@ def zonal_stats(
     frame downstream for zero rows. ``id_col`` must be unique per point
     (the G4 parity contract). ``value_cols`` are numeric point columns;
     each contributes decimal-accumulated sum, exact min/max, and an avg
-    derived from the decimal sum."""
-    hits = point_in_polygon(
-        spark,
-        points,
-        polys,
-        level=level,
-        id_col=id_col,
-        lat_col=lat_col,
-        lon_col=lon_col,
-        samples=samples,
-        prebuilt=prebuilt,
+    derived from the decimal sum over the non-null count. ``hits=``
+    reuses a precomputed containment join (jobs/spatial_stats.py writes
+    assignments and aggregates them without running G4 twice)."""
+    out = zonal_partials(
+        spark, points, polys, value_cols, level, id_col, lat_col, lon_col,
+        samples, prebuilt, hits,
     )
-    # join back only what the aggregate needs — a points frame carrying
-    # its own `kind`/`poly_id` columns must not collide with the hit
-    # frame's (the G4 contract reserves those names on the polygon side)
-    payload = points.select(id_col, *value_cols)
-    joined = hits.join(payload, id_col)
-    aggs = [F.count(F.lit(1)).alias("n_points")]
-    for v in value_cols:
-        dec = F.col(v).cast("decimal(38,6)")
-        aggs += [
-            F.sum(dec).alias(f"{v}_sum"),
-            # avg must divide by the NON-NULL count (SQL AVG semantics);
-            # n_points counts every contained point regardless
-            F.count(F.col(v)).alias(f"_{v}_cnt"),
-            F.min(F.col(v)).alias(f"{v}_min"),
-            F.max(F.col(v)).alias(f"{v}_max"),
-        ]
-    out = joined.groupBy("poly_id", "kind").agg(*aggs)
     for v in value_cols:
         out = out.withColumn(
             f"{v}_avg",
-            F.col(f"{v}_sum").cast("double") / F.col(f"_{v}_cnt"),
-        ).drop(f"_{v}_cnt")
+            F.col(f"{v}_sum").cast("double") / F.col(f"{v}_cnt"),
+        ).drop(f"{v}_cnt")
     return out

@@ -32,42 +32,10 @@ from typing import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.pip import point_in_polygon
+from ..operators.zonal import zonal_partials
+from .knn_stream import exactly_once_parquet_sink
 
 __all__ = ["zonal_foreach_batch", "zonal_totals"]
-
-
-def _zonal_partials(
-    spark,
-    points: DataFrame,
-    value_cols: tuple[str, ...],
-    id_col: str,
-    lat_col: str,
-    lon_col: str,
-    prebuilt,
-) -> DataFrame:
-    """(poly_id, kind, n_points[, v_sum, v_cnt, v_min, v_max ...]) — the
-    combinable partial form of zonal_stats for one batch of points."""
-    hits = point_in_polygon(
-        spark,
-        points,
-        None,
-        id_col=id_col,
-        lat_col=lat_col,
-        lon_col=lon_col,
-        prebuilt=prebuilt,
-    )
-    payload = points.select(id_col, *value_cols)
-    joined = hits.join(payload, id_col)
-    aggs = [F.count(F.lit(1)).alias("n_points")]
-    for v in value_cols:
-        aggs += [
-            F.sum(F.col(v).cast("decimal(38,6)")).alias(f"{v}_sum"),
-            F.count(F.col(v)).alias(f"{v}_cnt"),
-            F.min(F.col(v)).alias(f"{v}_min"),
-            F.max(F.col(v)).alias(f"{v}_max"),
-        ]
-    return joined.groupBy("poly_id", "kind").agg(*aggs)
 
 
 def zonal_foreach_batch(
@@ -80,20 +48,21 @@ def zonal_foreach_batch(
     lon_col: str = "lon",
 ) -> Callable:
     """`foreachBatch` function: each micro-batch appends its partial
-    aggregate under `batch_id=<n>` (dynamic overwrite — replay
-    idempotent). `prebuilt` is a persisted :func:`build_pip_index`
-    result; build it once before starting the stream."""
+    aggregate (:func:`zonal_partials` — the SAME builder zonal_stats
+    finalizes, so batch/stream numeric discipline cannot drift) under
+    `batch_id=<n>` through the shared exactly-once parquet sink.
+    `prebuilt` is a persisted :func:`build_pip_index` result; build it
+    once before starting the stream."""
+    sink = exactly_once_parquet_sink(state_dir)
 
     def fb(batch_df: DataFrame, batch_id: int) -> None:
-        partial = _zonal_partials(
-            spark, batch_df, value_cols, id_col, lat_col, lon_col, prebuilt
-        )
-        (
-            partial.withColumn("batch_id", F.lit(int(batch_id)))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(state_dir)
+        sink(
+            zonal_partials(
+                spark, batch_df, None, value_cols,
+                id_col=id_col, lat_col=lat_col, lon_col=lon_col,
+                prebuilt=prebuilt,
+            ),
+            batch_id,
         )
 
     return fb
@@ -103,8 +72,20 @@ def zonal_totals(
     spark, state_dir: str, value_cols: tuple[str, ...] = ()
 ) -> DataFrame:
     """Fold the state partitions into the zonal_stats output shape:
-    (poly_id, kind, n_points[, v_sum, v_min, v_max, v_avg ...])."""
-    state = spark.read.parquet(state_dir)
+    (poly_id, kind, n_points[, v_sum, v_min, v_max, v_avg ...]).
+    An empty/unwritten state (stream started, no contained points yet)
+    folds to zero rows rather than a read error."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        state = spark.read.parquet(state_dir)
+    except AnalysisException:
+        ddl = "poly_id long, kind string, n_points long" + "".join(
+            f", {v}_sum decimal(38,6), {v}_min double, {v}_max double, "
+            f"{v}_avg double"
+            for v in value_cols
+        )
+        return spark.createDataFrame([], ddl)
     aggs = [F.sum("n_points").alias("n_points")]
     for v in value_cols:
         aggs += [
