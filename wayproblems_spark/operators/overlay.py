@@ -233,6 +233,7 @@ def polygon_intersect_join(
     prebuilt_b=None,
     same_layer: bool = False,
     broadcast_edges: bool = True,
+    track_persists: list | None = None,
 ) -> DataFrame:
     """(a_id, b_id) — every pair of polygons whose point sets intersect
     (boundary touch counts, holes honored). Polygon frames use the G4
@@ -241,7 +242,14 @@ def polygon_intersect_join(
     ``same_layer=True`` treats A and B as the same layer and returns each
     unordered pair once with a_id < b_id (self pairs dropped).
     ``broadcast_edges=False`` switches the three decision joins to plain
-    shuffle hash joins for polygon layers past broadcast size."""
+    shuffle hash joins for polygon layers past broadcast size.
+
+    The candidate-pair frame feeds all THREE decision branches, so it is
+    persisted internally (without it the bucket join + distinct runs
+    three times — measured 3× the whole join's cost at bench scale).
+    Pass ``track_persists=[]`` to receive the frame and unpersist it
+    after consuming the result (the minhash/knn convention); without the
+    list it stays cached until the session ends."""
     if prebuilt_a is None:
         prebuilt_a = build_overlay_index(spark, polys_a, level, samples, persist=False)
     if prebuilt_b is None:
@@ -266,7 +274,9 @@ def polygon_intersect_join(
     )
     if same_layer:
         cand = cand.filter(F.col("a_id") < F.col("b_id"))
-    cand = cand.distinct()
+    cand = cand.distinct().persist()
+    if track_persists is not None:
+        track_persists.append(cand)
 
     crossings = _seg_cross_hits(cand, hint(edges_a), hint(edges_b))
     b_in_a = _parity_hits(
