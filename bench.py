@@ -386,9 +386,11 @@ def run_suite(spark, emit_fingerprints: bool = False) -> dict:
         )
 
     # Polygon overlay leg (round 6): layer×layer intersects join over two
-    # 2,048-polygon layers of 32-gons on a 64×32 lattice — edge-heavy so
-    # the candidate-pair × 32×32 orientation-test decision stage (codegen)
-    # dominates, not the scheduler. Index build (driver covers + broadcast
+    # 4,096-polygon layers of 32-gons on a 64×64 lattice — edge-heavy so
+    # the candidate-pair × 32×32 orientation-test decision stage (codegen,
+    # ~317k candidates × 1,024 edge pairs ≈ 325M rows) dominates — sized
+    # so the 2-core side carries real work, not plan/broadcast floor (a
+    # 2,048-poly variant measured ~no 2→8-core speedup: floor-bound). Index build (driver covers + broadcast
     # persist) is split out as overlay_build, the pip/knn prebuilt stance;
     # overlay_join times the recurring decision passes. Deterministic
     # generation (no RNG), pandas-shipped (the r4 row-tuple lesson).
@@ -403,11 +405,11 @@ def run_suite(spark, emit_fingerprints: bool = False) -> dict:
         import pandas as _opd
 
         nv = 32
-        n_poly = 2048
+        n_poly = 4096
         ang = 2.0 * _onp.pi * _onp.arange(nv + 1) / nv
         i = _onp.arange(n_poly)
-        clon = -170.0 + (i % 64) * 3.0 + offset_lon
-        clat = -60.0 + (i // 64) * 2.6 + offset_lat
+        clon = -170.0 + (i % 64) * 2.2 + offset_lon
+        clat = -60.0 + (i // 64) * 1.9 + offset_lat
         r = r0 + (i % rmod) * rstep
         rows = []
         for k in range(n_poly):
