@@ -221,6 +221,42 @@ def test_same_layer_unordered_pairs(spark):
     assert got == {(1, 2)}
 
 
+def test_distributed_build_identical(spark):
+    """build_overlay_index(distributed=True) runs the cover/edge/rep
+    extraction executor-parallel; with an explicit ``samples`` the three
+    tables must be row-identical to the driver-loop build (the pip
+    test_pip_distributed_build_identical pattern — only where the numpy
+    runs moves)."""
+    from wayproblems_spark.operators.overlay import build_overlay_index
+
+    a = _poly_df(spark, LAYER_A, HOLES_A)
+    drv = build_overlay_index(
+        spark, a, level=9, samples=33, persist=False, distributed=False
+    )
+    dist = build_overlay_index(
+        spark, a, level=9, samples=33, persist=True, distributed=True
+    )
+    for i, name in ((1, "buckets"), (2, "edges"), (3, "reps")):
+        d = sorted(map(tuple, drv[i].collect()))
+        x = sorted(map(tuple, dist[i].collect()))
+        assert d == x, f"{name} differ between driver and distributed build"
+    unpersist_overlay_index(dist)
+
+
+def test_bbox_prefilter_keeps_touching_pairs(spark):
+    """The candidate bbox prefilter must not drop pairs that only TOUCH
+    (shared corner / shared edge — bbox contact with zero overlap area):
+    exactly the EXPECTED set, which contains both cases, plus an
+    explicit assertion that rep bbox columns exist for the filter."""
+    from wayproblems_spark.operators.overlay import build_overlay_index
+
+    a = _poly_df(spark, LAYER_A, HOLES_A)
+    ia = build_overlay_index(spark, a, level=9)
+    assert {"xmin", "xmax", "ymin", "ymax"} <= set(ia[3].columns)
+    unpersist_overlay_index(ia)
+    assert _run(spark) == EXPECTED
+
+
 def test_antimeridian_pair(spark):
     """A wraps ±180 (stored shifted), B sits just west of the seam raw —
     they overlap across the seam; a control B' east of A is disjoint."""

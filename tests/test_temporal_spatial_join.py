@@ -267,6 +267,28 @@ def test_range_join_two_table(spark):
     assert pairs == exp
 
 
+def test_range_join_corner_residents_vs_brute(spark):
+    """Points clustered AT a cube corner (lat=asin(1/√3)≈35.264°,
+    lon=45°): some land in corner cells, whose residents the static
+    round-7 plan always routes through the brute tail (no per-call
+    corner-census job). Pairs must still match brute force exactly."""
+    import numpy as np
+
+    corner_lat = math.degrees(math.asin(1.0 / math.sqrt(3.0)))
+    i = np.arange(120)
+    lat = corner_lat + ((i % 11) - 5) * 0.01
+    lon = 45.0 + ((i // 11) - 5) * 0.012
+    df = spark.createDataFrame(
+        [(int(k), float(lat[k]), float(lon[k])) for k in i],
+        "id long, lat double, lon double",
+    )
+    radius = 2_500.0
+    got = spatial_range_join(df, radius)
+    pairs = {(r["id1"], r["id2"]) for r in got.collect()}
+    assert pairs == _brute_pairs(lat, lon, radius)
+    assert len(pairs) > 50
+
+
 def test_range_join_level_guard(spark):
     df = spark.createDataFrame([(0, 0.0, 0.0)], "id long, lat double, lon double")
     with pytest.raises(ValueError):

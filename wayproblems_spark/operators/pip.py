@@ -240,7 +240,7 @@ def build_pip_index(
     polys,
     level: int = 10,
     samples: int | None = None,
-    distributed: bool = False,
+    distributed: bool | None = None,
     persist: bool = True,
 ):
     """(level, buckets, edges) — the reusable static side of the PIP
@@ -261,7 +261,15 @@ def build_pip_index(
 
     ``distributed=True`` runs the per-polygon cover/edge extraction
     executor-parallel (mapInPandas) instead of in a driver loop —
-    identical output tables, for polygon layers past ~10^5 rows."""
+    identical output tables (fingerprint-asserted in tests). Default
+    auto (``None``): persisted DataFrame builds distribute — the driver
+    loop is a parallelism-independent O(polys · samples²) single-core
+    bound (at dense sampling it was most of the r6 pip_build leg) —
+    while one-shot (``persist=False``) and pre-collected-list builds
+    keep the driver loop, since an unpersisted mapInPandas frame would
+    re-run its Python pass on every downstream broadcast."""
+    if distributed is None:
+        distributed = isinstance(polys, DataFrame) and persist
     if distributed:
         if not isinstance(polys, DataFrame):
             raise TypeError("distributed build requires a polygon DataFrame")

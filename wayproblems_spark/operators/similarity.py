@@ -346,9 +346,19 @@ def ivf_topk(
         q_id_col, q_vec_col,
         F.explode(_probes(F.col(q_vec_col))).alias("list_id"),
     )
-    cand = assigned.join(F.broadcast(q), "list_id").drop("list_id").dropDuplicates(
-        [q_id_col, id_col]
-    )
+    # (q_id, id) pairs out of this join are unique BY CONSTRUCTION: each
+    # corpus vector carries exactly one list_id and a query's nprobe
+    # probe lists are distinct argsort indices, so a given (query, vec)
+    # pair can meet on at most one list. The dropDuplicates that used to
+    # sit here was therefore a no-op on results — but it shuffled every
+    # candidate row WITH both embedding payloads (dim-sized arrays on
+    # both sides: ~4M rows × ~1 KB at the bench leg), the only
+    # data-sized exchange in the per-query-batch path (guide §2.4:
+    # remove shuffles outright / §2.3: never shuffle payloads to decide
+    # identity). Without it the re-rank runs map-side on the join
+    # output and the only exchange left is the narrow (q_id, id, sim)
+    # top-k window.
+    cand = assigned.join(F.broadcast(q), "list_id").drop("list_id")
     if rerank == "expr":  # kept for the A/B benchmark only
         sim = cosine_expr(
             F.col(vec_col).cast("array<double>"), F.col(q_vec_col).cast("array<double>")
