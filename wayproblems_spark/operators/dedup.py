@@ -64,6 +64,40 @@ def minhash_signature(shingles_col, num_hashes: int = 64):
     )
 
 
+def _shingle_hash_rows(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(_id, hs) — one row per k-word-shingle OCCURRENCE, entirely in
+    whole-stage codegen (round 7; guide §4.1 "prefer built-ins", §1.2
+    "per-task work"). The previous form built per-doc shingle-hash
+    ARRAYS through three interpreted higher-order expressions
+    (transform(concat_ws(slice)) inside word_shingles, array_distinct on
+    the strings, then a second transform+array_distinct for the hashes)
+    — measured as HALF the whole minhash bench leg. Here the k aligned
+    ``slice`` views of the token array are ``arrays_zip``-ed and
+    exploded, so the per-shingle work (concat_ws of k struct fields +
+    xxhash64) is plain codegen over rows.
+
+    Value parity with the old array form (q21/q23/q30-locked): the
+    shingle string for window i is ``concat_ws(" ", toks[i..i+k-1])`` in
+    both; duplicates are NOT dropped here — the 64-min signature
+    aggregate is duplicate-insensitive, and the per-doc distinct set for
+    the Jaccard verify is rebuilt exactly by ``collect_set`` in the same
+    aggregate (hash-then-distinct ≡ distinct-then-hash-then-distinct,
+    which is what the old double array_distinct computed). Docs with
+    fewer than k tokens produce zero rows (the old form's
+    ``filter(size(shl) > 0)``)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    m = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    slices = df.select(
+        F.col(id_col).alias("_id"),
+        *[F.slice(toks, j + 1, m).alias(f"_t{j}") for j in range(k)],
+    )
+    w = F.explode(F.arrays_zip(*[F.col(f"_t{j}") for j in range(k)]))
+    shingle = F.concat_ws(" ", *[F.col(f"_w._t{j}") for j in range(k)])
+    return slices.select("_id", w.alias("_w")).select(
+        "_id", F.xxhash64(shingle).alias("hs")
+    )
+
+
 # The band-signature aggregate columns are input-independent (they only
 # reference the exploded `hs` column), but rebuilding them per call costs
 # ~0.9 s of py4j round-trips + fresh-exprId analysis at EVERY parallelism
@@ -163,18 +197,27 @@ def minhash_lsh(
 
     # per-shingle hashes once (longs from here on: light to shuffle, cheap
     # to intersect; collision probability over 64-bit hashes is negligible
-    # and documented)
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(
-            F.transform(word_shingles(F.col(text_col), k), lambda s: F.xxhash64(s))
-        ).alias("shl"),
-    ).filter(F.size("shl") > 0)
-    base = base.persist()
+    # and documented). Round 7: shingle hashing is a codegen ROW pipeline
+    # (_shingle_hash_rows, persisted — it feeds the signature aggregate
+    # AND the verify-side set aggregate) replacing the interpreted
+    # per-doc array construction that alone measured as half the bench
+    # leg. The two consumers stay SEPARATE aggregates deliberately:
+    # fusing collect_set into the signature aggregate demotes the whole
+    # thing from a codegen HashAggregate to an interpreted
+    # ObjectHashAggregate (collect_set is a TypedImperativeAggregate) —
+    # measured slower than the old array path; split, the 64-min/band
+    # aggregate keeps whole-stage codegen and only the small set
+    # aggregate pays the object path.
+    rows = _shingle_hash_rows(df, id_col, text_col, k)
+    rows = rows.persist()
     if track_persists is not None:
-        track_persists.append(base)
-
-    buckets = _minhash_band_buckets(base, num_hashes, bands)
+        track_persists.append(rows)
+    sigs = rows.groupBy("_id").agg(*_band_agg_columns(num_hashes, bands))
+    base = rows.groupBy("_id").agg(F.collect_set("hs").alias("shl"))
+    stack = ", ".join(f"{b}, s{b}" for b in range(bands))
+    buckets = sigs.select(
+        "_id", F.expr(f"stack({bands}, {stack}) as (band, sig)")
+    )
     w = Window.partitionBy("band", "sig").orderBy("_id")
     ranked = buckets.withColumn("rn", F.row_number().over(w))
 
