@@ -28,9 +28,11 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-STAGE = "/dev/shm/spark_graft_overlay"
 P = 8192
 NV = 64
+# fixture params are part of the stage path (ADVICE r6): editing P/NV
+# used to silently reuse stale staged data behind the _SUCCESS check
+STAGE = f"/dev/shm/spark_graft_overlay_{P}_{NV}"
 
 
 def _gen(spark):

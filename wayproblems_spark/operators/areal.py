@@ -118,6 +118,14 @@ def polygon_grid_weights(
     cols = ["poly_id", "kind", "ring"] + (["holes"] if has_holes else [])
     src = polys.select(*cols)
     cells_per_turn = 360.0 / pitch
+    # NOTE (ADVICE r6): 360 % pitch == 0 guarantees the wrapped [0,360)
+    # frame tiles with whole cells, but only 180 % pitch == 0 puts a cell
+    # BOUNDARY exactly at lon 180 — for a pitch like 72 (360/5) the cell
+    # straddling 180 is indexed from the wrapped origin and can disagree
+    # with the index non-wrap polygons use for the same region. Callers
+    # mixing wrap and non-wrap polygons near ±180 should pick a pitch
+    # dividing 180; the looser check is kept for backward compatibility
+    # and the straddling-cell ambiguity is documented here.
     wrap_pitch_ok = abs(cells_per_turn - round(cells_per_turn)) < 1e-9
     turn_cells = int(round(cells_per_turn))
 

@@ -66,9 +66,11 @@ def repeated_spans(
     text_col: str = "text",
     hash_grams: bool = False,
 ) -> DataFrame:
-    """(id, span_start, span_end) — maximal token intervals [start, end)
-    whose every length-k window occurs ≥2 times corpus-wide. Documents
-    with no repeated span are absent. ``hash_grams=True`` keys the
+    """(id, span_start, span_end) — the union of all token windows
+    [i, i+k) whose k-gram occurs ≥2 times corpus-wide, merged into
+    maximal intervals (after a gap == k merge, interior windows of the
+    merged interval need not themselves be duplicated — see the module
+    docstring). Documents with no repeated span are absent. ``hash_grams=True`` keys the
     duplicate-detection shuffle by xxhash64(gram) instead of the gram
     string (64-bit collision risk accepted for corpus scale)."""
     if k < 1:
