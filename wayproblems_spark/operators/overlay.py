@@ -67,6 +67,7 @@ from .pip import (
     _EDGE_SCHEMA,
     _collect_polys,
     _normalize_rings,
+    _outer_bbox,
     _poly_cover,
     polygon_cell_buckets,
     polygon_edges,
@@ -101,13 +102,8 @@ def _rep_bbox_row(poly_id, rings, wrap):
     """(poly_id, rx, ry, rwrap, xmin, xmax, ymin, ymax) — first OUTER-ring
     vertex plus the outer-ring bbox (holes lie inside it) in the same
     normalized coordinate space as the edge table ([0,360) when wrap)."""
-    ring = rings[0]
-    lons = [p[0] for p in ring]
-    lats = [p[1] for p in ring]
-    return (
-        poly_id, ring[0][0], ring[0][1], wrap,
-        min(lons), max(lons), min(lats), max(lats),
-    )
+    xmin, xmax, ymin, ymax = _outer_bbox(rings)
+    return (poly_id, rings[0][0][0], rings[0][0][1], wrap, xmin, xmax, ymin, ymax)
 
 
 def _rep_points(spark, polys_list) -> DataFrame:
@@ -154,6 +150,7 @@ def _distributed_overlay_frames(
     def gen_buckets(batches):
         for pdf in batches:
             cells_acc, pid_acc, kind_acc = [], [], []
+            bb_acc = {k: [] for k in ("xmin", "xmax", "ymin", "ymax", "wrap")}
             for row in pdf.itertuples(index=False):
                 rings, wrap = _normalize_rings(
                     row.ring, row.holes if has_holes else None
@@ -163,15 +160,25 @@ def _distributed_overlay_frames(
                 cells_acc.append(ids)
                 pid_acc.append(np.full(ids.size, int(row.poly_id), dtype=np.int64))
                 kind_acc.extend([row.kind] * ids.size)
+                xmin, xmax, ymin, ymax = _outer_bbox(rings)
+                bb_acc["xmin"].append(np.full(ids.size, xmin))
+                bb_acc["xmax"].append(np.full(ids.size, xmax))
+                bb_acc["ymin"].append(np.full(ids.size, ymin))
+                bb_acc["ymax"].append(np.full(ids.size, ymax))
+                bb_acc["wrap"].append(np.full(ids.size, wrap, dtype=bool))
+            cat = lambda xs, dt: (
+                np.concatenate(xs) if xs else np.array([], dtype=dt)
+            )
             yield pd.DataFrame(
                 {
-                    "cell": np.concatenate(cells_acc)
-                    if cells_acc
-                    else np.array([], dtype=np.int64),
-                    "poly_id": np.concatenate(pid_acc)
-                    if pid_acc
-                    else np.array([], dtype=np.int64),
+                    "cell": cat(cells_acc, np.int64),
+                    "poly_id": cat(pid_acc, np.int64),
                     "kind": pd.Series(kind_acc, dtype="object"),
+                    "xmin": cat(bb_acc["xmin"], np.float64),
+                    "xmax": cat(bb_acc["xmax"], np.float64),
+                    "ymin": cat(bb_acc["ymin"], np.float64),
+                    "ymax": cat(bb_acc["ymax"], np.float64),
+                    "wrap": cat(bb_acc["wrap"], bool),
                 }
             )
 

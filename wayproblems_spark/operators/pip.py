@@ -47,7 +47,16 @@ from .cells import covering_cells, with_cell
 
 EPS = 1e-12
 
-_BUCKET_SCHEMA = "cell long, poly_id long, kind string"
+# bucket rows carry the polygon's outer-ring bbox (normalized [0,360)
+# coords when wrap) so the containment join can drop (point, poly)
+# candidates BEFORE the edge explosion (round 7; guide §2.3): a point
+# outside the bbox (±2·EPS, matching the on-edge tie tolerance) has even
+# ray-cast parity and no on-edge hit by construction, so the filter can
+# only remove rows the parity aggregate would discard anyway.
+_BUCKET_SCHEMA = (
+    "cell long, poly_id long, kind string, "
+    "xmin double, xmax double, ymin double, ymax double, wrap boolean"
+)
 _EDGE_SCHEMA = "poly_id long, ax double, ay double, bx double, by double, wrap boolean"
 
 
@@ -82,6 +91,15 @@ def _normalize_rings(ring, holes):
             for ring in rings
         ]
     return rings, wrap
+
+
+def _outer_bbox(rings):
+    """(xmin, xmax, ymin, ymax) of the OUTER ring in the polygon's
+    normalized coordinate space (hole rings lie inside it)."""
+    ring = rings[0]
+    xs = [p[0] for p in ring]
+    ys = [p[1] for p in ring]
+    return min(xs), max(xs), min(ys), max(ys)
 
 
 def _poly_cover(rings, wrap, level: int, samples: int | None):
@@ -135,16 +153,29 @@ def polygon_cell_buckets(spark, polys, level: int, samples: int | None = None) -
     # row, which at ~10^5 bucket rows is a parallelism-independent driver
     # constant big enough to dominate the operator at high core counts
     cells_acc, pid_acc, kind_acc = [], [], []
+    bb_acc = {k: [] for k in ("xmin", "xmax", "ymin", "ymax", "wrap")}
     for poly_id, kind, rings, wrap in polys:
         ids = _poly_cover(rings, wrap, level, samples)
         cells_acc.append(ids)
         pid_acc.append(np.full(ids.size, poly_id, dtype=np.int64))
         kind_acc.extend([kind] * ids.size)
+        xmin, xmax, ymin, ymax = _outer_bbox(rings)
+        bb_acc["xmin"].append(np.full(ids.size, xmin))
+        bb_acc["xmax"].append(np.full(ids.size, xmax))
+        bb_acc["ymin"].append(np.full(ids.size, ymin))
+        bb_acc["ymax"].append(np.full(ids.size, ymax))
+        bb_acc["wrap"].append(np.full(ids.size, wrap, dtype=bool))
+    cat = lambda xs, dt: np.concatenate(xs) if xs else np.array([], dtype=dt)
     pdf = pd.DataFrame(
         {
-            "cell": np.concatenate(cells_acc) if cells_acc else np.array([], dtype=np.int64),
-            "poly_id": np.concatenate(pid_acc) if pid_acc else np.array([], dtype=np.int64),
+            "cell": cat(cells_acc, np.int64),
+            "poly_id": cat(pid_acc, np.int64),
             "kind": pd.Series(kind_acc, dtype="object"),
+            "xmin": cat(bb_acc["xmin"], np.float64),
+            "xmax": cat(bb_acc["xmax"], np.float64),
+            "ymin": cat(bb_acc["ymin"], np.float64),
+            "ymax": cat(bb_acc["ymax"], np.float64),
+            "wrap": cat(bb_acc["wrap"], bool),
         }
     )
     return spark.createDataFrame(pdf, _BUCKET_SCHEMA)
@@ -187,6 +218,7 @@ def _distributed_index_frames(spark, polys: DataFrame, level: int, samples: int 
     def gen_buckets(batches):
         for pdf in batches:
             cells_acc, pid_acc, kind_acc = [], [], []
+            bb_acc = {k: [] for k in ("xmin", "xmax", "ymin", "ymax", "wrap")}
             for row in pdf.itertuples(index=False):
                 rings, wrap = _normalize_rings(
                     row.ring, row.holes if has_holes else None
@@ -195,15 +227,25 @@ def _distributed_index_frames(spark, polys: DataFrame, level: int, samples: int 
                 cells_acc.append(ids)
                 pid_acc.append(np.full(ids.size, int(row.poly_id), dtype=np.int64))
                 kind_acc.extend([row.kind] * ids.size)
+                xmin, xmax, ymin, ymax = _outer_bbox(rings)
+                bb_acc["xmin"].append(np.full(ids.size, xmin))
+                bb_acc["xmax"].append(np.full(ids.size, xmax))
+                bb_acc["ymin"].append(np.full(ids.size, ymin))
+                bb_acc["ymax"].append(np.full(ids.size, ymax))
+                bb_acc["wrap"].append(np.full(ids.size, wrap, dtype=bool))
+            cat = lambda xs, dt: (
+                np.concatenate(xs) if xs else np.array([], dtype=dt)
+            )
             yield pd.DataFrame(
                 {
-                    "cell": np.concatenate(cells_acc)
-                    if cells_acc
-                    else np.array([], dtype=np.int64),
-                    "poly_id": np.concatenate(pid_acc)
-                    if pid_acc
-                    else np.array([], dtype=np.int64),
+                    "cell": cat(cells_acc, np.int64),
+                    "poly_id": cat(pid_acc, np.int64),
                     "kind": pd.Series(kind_acc, dtype="object"),
+                    "xmin": cat(bb_acc["xmin"], np.float64),
+                    "xmax": cat(bb_acc["xmax"], np.float64),
+                    "ymin": cat(bb_acc["ymin"], np.float64),
+                    "ymax": cat(bb_acc["ymax"], np.float64),
+                    "wrap": cat(bb_acc["wrap"], bool),
                 }
             )
 
@@ -329,7 +371,26 @@ def point_in_polygon(
 
     # (point, candidate-poly) pairs: a point has exactly one cell and the
     # bucket table has one row per (cell, poly), so pairs are unique here.
-    cand = pts.join(F.broadcast(buckets), "cell").select(
+    # bbox prefilter BEFORE the edge explosion (round 7; guide §2.3):
+    # the bucket row carries the polygon's outer-ring bbox; a point
+    # outside it (±2·EPS — the on-edge tie tolerance) can contribute no
+    # on-edge hit (all edges lie inside the bbox) and only an even
+    # crossing count (a horizontal ray strictly left/right/above/below a
+    # closed ring set crosses it an even number of times), so the parity
+    # aggregate would discard the pair anyway — the filter just stops it
+    # from multiplying by the polygon's edge count first. The lon shift
+    # mirrors the ray cast's wrap handling exactly.
+    _px = F.when(
+        F.col("wrap") & (F.col(lon_col) < 0), F.col(lon_col) + 360.0
+    ).otherwise(F.col(lon_col))
+    _slack = F.lit(2.0 * EPS)
+    in_bbox = (
+        (_px >= F.col("xmin") - _slack)
+        & (_px <= F.col("xmax") + _slack)
+        & (F.col(lat_col) >= F.col("ymin") - _slack)
+        & (F.col(lat_col) <= F.col("ymax") + _slack)
+    )
+    cand = pts.join(F.broadcast(buckets), "cell").filter(in_bbox).select(
         id_col, lat_col, lon_col, "poly_id", "kind"
     )
     ex = cand.join(F.broadcast(edges), "poly_id")
